@@ -1,0 +1,109 @@
+"""Initial and boundary data for the Boussinesq aqua-planet runs.
+
+Vectorized JAX versions of the reference's Function objects
+(reference: include/model_data/boussinesq_model_data.tpp):
+
+  * shell temperature IC — sum of two Gaussian bumps at radii
+    R0 + 0.35 dR (x-axis) and R0 + 0.65 dR (y-axis), isotropic precision
+    20/(dR/2); the 2D variant is rotated by pi/3, the 3D one is not
+    (tpp:15-120);
+  * cuboid temperature IC — single Gaussian at the domain center with
+    precision 1/(0.1 d)^2 and an extra 1/2 amplitude factor (tpp:168-196);
+  * velocity IC = 0 (tpp:247-255); temperature RHS gamma = 0 (tpp:219-224).
+
+All functions accept coordinates of shape (..., dim) and return (...,)
+scalars / (..., dim) vectors; they are pure and jit-friendly.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax.numpy as jnp
+
+from dycoreplanet_tpu.physics.closures import euler_rotation_matrix, rotation_matrix_2d
+
+
+def _gaussian(p: jnp.ndarray, center: jnp.ndarray, precision_diag: float, dim: int) -> jnp.ndarray:
+    """det(C)^(1/2) exp(-1/2 (p-c)^T C (p-c)) / (2 pi)^(dim/2) with
+    C = precision_diag * I (the reference's covariance_matrix is in fact a
+    precision matrix; boussinesq_model_data.tpp:122-147)."""
+    d = p - center
+    quad = precision_diag * jnp.sum(d * d, axis=-1)
+    det_sqrt = precision_diag ** (dim / 2.0)
+    return det_sqrt * jnp.exp(-0.5 * quad) / math.sqrt((2.0 * math.pi) ** dim)
+
+
+class TemperatureInitialValues:
+    """Double-Gaussian shell IC (reference: boussinesq_model_data.tpp:15-147).
+
+    2D: centers rotated via R c R^T with R = rot(pi/3) (note the reference
+    applies the similarity transform to a *vector*, i.e. effectively
+    c -> R (c R^T); we reproduce its numerics exactly by computing
+    R @ c @ R^T with c a vector: deal.II evaluates rotation * c * transpose
+    as (R c) contracted with R^T giving R c scaled — concretely for a
+    vector this is (R c) R^T summed over the trailing index, which equals
+    R^T-weighted combination. To avoid ambiguity we computed the actual
+    deal.II semantics: rotation * center_tmp is a vector v; v * transpose(
+    rotation) is vector-matrix product v^T R^T = (R v)^T ... giving
+    R^T (R c). We implement exactly that composition and verify against
+    hand-computed values in tests/test_initial_data.py.
+    3D: rotate=false, centers on the x/y axes unrotated."""
+
+    def __init__(self, dim: int, R0: float, R1: float):
+        self.dim = dim
+        dR = R1 - R0
+        self.precision = 20.0 / (dR / 2.0)
+        c1 = jnp.zeros((dim,)).at[0].set(R0 + dR * 0.35)
+        c2 = jnp.zeros((dim,)).at[1].set(R0 + dR * 0.65)
+        if dim == 2:
+            # rotate=true branch (tpp:26-57): center += R * c * R^T.
+            # For a vector c, deal.II's  R * c  is matvec; (matvec) * R^T is
+            # vec-mat = R^T^T applied from the right: (R c)_j R^T_{jk} ->
+            # component k. Net effect: c -> R_transposed @ (R @ c)?  No:
+            # (v * M)_k = v_j M_{jk}; with M = R^T this is (R^T)^T v = R v.
+            # Therefore center = R^T? Let's be precise:
+            #   v = R c;   w_k = v_j (R^T)_{jk} = v_j R_{kj} = (R v)_k.
+            # So w = R (R c) = R^2 c — a rotation by 2*alpha.
+            R = rotation_matrix_2d(math.pi / 3.0)
+            self.center1 = R @ (R @ c1)
+            self.center2 = R @ (R @ c2)
+        else:
+            # 3D: rotate = False (tpp:66)
+            self.center1 = c1
+            self.center2 = c2
+
+    def __call__(self, p: jnp.ndarray) -> jnp.ndarray:
+        return _gaussian(p, self.center1, self.precision, self.dim) + _gaussian(
+            p, self.center2, self.precision, self.dim
+        )
+
+
+class TemperatureInitialValuesCuboid:
+    """Single-Gaussian cuboid IC (reference: boussinesq_model_data.tpp:168-196).
+
+    Precision = 1/(0.1*diameter)^2; amplitude divisor is
+    2*sqrt((2 pi)^2) independent of dim (reference quirk, tpp:189-192)."""
+
+    def __init__(self, dim: int, center: jnp.ndarray, diameter: float):
+        self.dim = dim
+        self.center = jnp.asarray(center)
+        self.precision = 1.0 / (0.1 * diameter) ** 2
+
+    def __call__(self, p: jnp.ndarray) -> jnp.ndarray:
+        d = p - self.center
+        quad = self.precision * jnp.sum(d * d, axis=-1)
+        det_sqrt = self.precision ** (self.dim / 2.0)
+        # Reference divides by 2*sqrt((2 pi)^2) = 4 pi regardless of dim.
+        return det_sqrt * jnp.exp(-0.5 * quad) / (2.0 * (2.0 * math.pi))
+
+
+def velocity_initial_values(p: jnp.ndarray) -> jnp.ndarray:
+    """Zero initial velocity (reference: boussinesq_model_data.tpp:247-255)."""
+    return jnp.zeros_like(p)
+
+
+def temperature_rhs(p: jnp.ndarray) -> jnp.ndarray:
+    """gamma = 0 (reference: boussinesq_model_data.tpp:219-224)."""
+    return jnp.zeros(p.shape[:-1], dtype=p.dtype)
