@@ -1,0 +1,477 @@
+"""BoussinesqModel — the TPU-native aqua-planet time stepper.
+
+Solves the nondimensional rotating buoyancy Boussinesq system of the
+reference (equations documented at reference:
+include/core/boussinesq_model.h:84-114):
+
+    du/dt + (u.grad)u + 2 Omega x u + grad p = (1/Re) Lap u - rho(T) g_hat e_r
+    div u = 0
+    dT/dt + u.grad T = div( (1/Pe) grad T ) + gamma
+
+with the reference's IMEX-Euler splitting (implicit: mass + diffusion +
+pressure; explicit: advection + Coriolis + buoyancy from step n;
+reference: boussinesq_model.tpp:591-670) — but instead of the coupled
+saddle-point Schur solve (reference: tpp:1131-1414) we use the
+TPU-idiomatic incremental pressure projection:
+
+  1. explicit forcing     F = -adv(u^n) + cor(u^n) + buoy(T^n) [+ curv]
+  2. Helmholtz predictor  (V - dt/Re L) u* = V (u^n + dt F - dt grad p^n)
+                          (matrix-free CG per velocity component)
+  3. Poisson projection   L phi = div(U*) V / dt on staggered face
+                          velocities (matrix-free CG, Jacobi precond)
+  4. correction           U = U* - dt grad_f phi ; u = u* - dt grad_c phi
+                          p = p^n + phi  (+ zero-mean correction)
+  5. temperature          (V + dt' / Pe (-L)) T = V (T^n - dt' u^n.grad T^n)
+                          (CG, Dirichlet at inner/bottom wall)
+
+Both discretization personalities of the reference are supported:
+  * standard (Taylor-Hood analogue): advective-form momentum transport
+    (reference: boussinesq_model.tpp:656-658)
+  * FEEC / mimetic (Nedelec-RT analogue): vector-invariant rotational
+    form omega x u + grad |u|^2/2 (reference: boussineq_model_FEEC.tpp:786-805)
+
+State arrays are cell-centered with auxiliary divergence-free staggered
+face velocities (MAC-consistent collocated scheme). Everything inside
+``step`` is jit-compiled; diagnostics come back as traced scalars.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dycoreplanet_tpu.base import nondim
+from dycoreplanet_tpu.base.params import Parameters
+from dycoreplanet_tpu.grid.factory import make_geometry
+from dycoreplanet_tpu.grid.geometry import Geometry
+from dycoreplanet_tpu.ops.bc import BC, BCSpec
+from dycoreplanet_tpu.ops import stencil as st
+from dycoreplanet_tpu.ops import vector as vec
+from dycoreplanet_tpu.ops.diagonal import weak_laplacian_diagonal
+from dycoreplanet_tpu.physics.initial_data import (
+    TemperatureInitialValues,
+    TemperatureInitialValuesCuboid,
+)
+from dycoreplanet_tpu.solvers.cg import cg
+
+
+class State(NamedTuple):
+    u: jnp.ndarray               # (dim, *cells) velocity, local frame
+    u_faces: Tuple[jnp.ndarray, ...]  # staggered face-normal velocities
+    p: jnp.ndarray               # (*cells) pressure
+    T: jnp.ndarray               # (*cells) temperature
+    time: jnp.ndarray            # scalar
+    step_number: jnp.ndarray     # scalar int32
+
+
+class StepDiagnostics(NamedTuple):
+    cfl: jnp.ndarray
+    max_velocity: jnp.ndarray
+    T_min: jnp.ndarray
+    T_max: jnp.ndarray
+    div_norm: jnp.ndarray        # post-projection max |div u|
+    helmholtz_iters: jnp.ndarray  # (dim,)
+    poisson_iters: jnp.ndarray
+    temperature_iters: jnp.ndarray
+
+
+class BoussinesqModel:
+    """Driver for one configuration (reference analogue:
+    Standard::BoussinesqModel / ExteriorCalculus::BoussinesqModel,
+    include/core/boussinesq_model.h:116-310)."""
+
+    def __init__(self, params: Parameters, geometry: Optional[Geometry] = None):
+        self.params = params
+        self.geo = geometry if geometry is not None else make_geometry(params)
+        geo = self.geo
+        num = params.numerics
+        self.dtype = jnp.dtype(num.dtype)
+
+        ref = params.reference_quantities
+        pc = params.physical_constants
+        self.one_over_Re = 1.0 / nondim.reynolds_number(
+            ref.velocity, ref.length, pc.kinematic_viscosity)
+        self.one_over_Pe = 1.0 / nondim.peclet_number(
+            ref.velocity, ref.length, pc.thermal_diffusivity)
+        self.beta = pc.expansion_coefficient
+        self.T_ref = ref.temperature_ref
+        # nondimensional gravity scale (L/u^2) g and rotation (L/u) Omega
+        # (reference: boussinesq_model.tpp:616-621, 643-650)
+        self.g_hat_scale = ref.length / ref.velocity**2
+        self.omega_hat = ref.length * pc.omega / ref.velocity
+        self.coriolis_mode = "reference"
+        self.advection_form = "rotational" if params.use_FEEC_solver else "advective"
+        self.advection_scheme = "upwind"
+
+        self._setup_bcs()
+        self._setup_static_fields()
+        self._jit_step = jax.jit(self._step_impl)
+
+    # ------------------------------------------------------------------
+    def _setup_bcs(self) -> None:
+        """Ghost rules replacing the reference's constraint sets
+        (no-slip inner / no-normal-flux outer, Dirichlet temperature at
+        the inner/bottom boundary; reference: boussinesq_model.tpp:259-387)."""
+        geo = self.geo
+        dim = geo.dim
+        AS, NEU = BC.ANTISYM, BC.NEUMANN
+        if geo.kind == "cuboid":
+            # z walls: bottom no-slip (all comps), top w=0 + free-slip
+            self.u_specs = [
+                [BCSpec(AS, AS), None, None],        # w (normal to z)
+                [BCSpec(AS, NEU), None, None],       # v
+                [BCSpec(AS, NEU), None, None],       # u
+            ]
+            self.p_specs = [BCSpec(NEU, NEU), None, None]
+            self.T_wall_axis, self.T_wall_end = 0, "lo"
+        elif geo.kind == "annulus":
+            self.u_specs = [
+                [BCSpec(AS, AS), None],              # u_r: zero both walls
+                [BCSpec(AS, NEU), None],             # u_phi: no-slip inner, free outer
+            ]
+            self.p_specs = [BCSpec(NEU, NEU), None]
+            self.T_wall_axis, self.T_wall_end = 0, "lo"
+        else:  # shell
+            PO, PF = BC.POLE, BC.POLE_FLIP
+            self.u_specs = [
+                [BCSpec(AS, AS), BCSpec(PO, PO), None],    # u_r
+                [BCSpec(AS, NEU), BCSpec(PF, PF), None],   # u_lat
+                [BCSpec(AS, NEU), BCSpec(PF, PF), None],   # u_lon
+            ]
+            self.p_specs = [BCSpec(NEU, NEU), BCSpec(PO, PO), None]
+            self.T_wall_axis, self.T_wall_end = 0, "lo"
+        # scalar-like specs (kinetic energy, diagnostics)
+        self.scalar_specs = self.p_specs
+
+    def _setup_static_fields(self) -> None:
+        geo = self.geo
+        params = self.params
+        dt_np = self.dtype
+        self.vol = jnp.asarray(np.broadcast_to(geo.vol, geo.cell_shape), dtype=dt_np)
+        self.diameter = jnp.asarray(geo.cell_diameter(), dtype=dt_np)
+
+        # --- gravity acceleration field (dim, *cells): rho-independent part
+        # g_vec_hat = (L/u^2) * gravity_vector  (buoyancy multiplies by rho(T))
+        if geo.kind == "cuboid":
+            gvec = np.zeros((3,) + geo.cell_shape)
+            gvec[0] = -params.physical_constants.gravity_constant  # z-component
+        else:
+            # radial: -g for r>1 else -g sqrt(r)  (core_model_data.tpp:97-106)
+            r = np.broadcast_to(geo.extras["r_centers"], geo.cell_shape)
+            g0 = params.physical_constants.gravity_constant
+            gr = np.where(r > 1.0, -g0, -g0 * np.sqrt(r))
+            gvec = np.zeros((geo.dim,) + geo.cell_shape)
+            gvec[0] = gr
+        self.gravity = jnp.asarray(self.g_hat_scale * gvec, dtype=dt_np)
+
+        # --- temperature IC + Dirichlet boundary values at the wall
+        centers = self._cell_center_coords()
+        if geo.kind == "cuboid":
+            center = geo.extras["center"]
+            ic = TemperatureInitialValuesCuboid(3, jnp.asarray(center),
+                                                float(geo.extras["diameter"]))
+        else:
+            r0 = float(geo.axes[0].faces[0])
+            r1 = float(geo.axes[0].faces[-1])
+            ic = TemperatureInitialValues(geo.dim, r0, r1)
+        self.T_init = jnp.asarray(ic(centers), dtype=dt_np)
+        # boundary values: IC evaluated on the inner/bottom wall surface
+        wall_pts = self._wall_coords(self.T_wall_axis, self.T_wall_end)
+        T_wall = jnp.asarray(ic(wall_pts), dtype=dt_np)
+        # T boundary specs: Dirichlet at the wall, Neumann/pole elsewhere
+        NEU = BC.NEUMANN
+        if geo.kind == "shell":
+            self.T_specs = [BCSpec(BC.DIRICHLET, NEU, lo_value=T_wall),
+                            BCSpec(BC.POLE, BC.POLE), None]
+            self.T_specs_hom = [BCSpec(BC.ANTISYM, NEU),
+                                BCSpec(BC.POLE, BC.POLE), None]
+        elif geo.kind == "annulus":
+            self.T_specs = [BCSpec(BC.DIRICHLET, NEU, lo_value=T_wall), None]
+            self.T_specs_hom = [BCSpec(BC.ANTISYM, NEU), None]
+        else:
+            self.T_specs = [BCSpec(BC.DIRICHLET, NEU, lo_value=T_wall), None, None]
+            self.T_specs_hom = [BCSpec(BC.ANTISYM, NEU), None, None]
+
+        # affine offset of the inhomogeneous-Dirichlet weak Laplacian:
+        # weak_lap_inhom(x) = weak_lap_hom(x) + offset
+        zero = jnp.zeros(geo.cell_shape, dtype=dt_np)
+        self.T_lap_offset = st.weak_laplacian(geo, zero, self.T_specs)
+
+        # --- Jacobi preconditioner diagonals
+        self.poisson_diag = jnp.asarray(
+            -weak_laplacian_diagonal(geo, self.p_specs), dtype=dt_np)
+        self.helm_diags = [
+            jnp.asarray(-weak_laplacian_diagonal(geo, self.u_specs[c]), dtype=dt_np)
+            for c in range(geo.dim)
+        ]
+        self.T_diag = jnp.asarray(
+            -weak_laplacian_diagonal(geo, self.T_specs_hom), dtype=dt_np)
+
+    # ------------------------------------------------------------------
+    def _cell_center_coords(self) -> jnp.ndarray:
+        """Cartesian coordinates of cell centers, (*cells, dim) — feeds
+        the reference's Function-style ICs which are Cartesian."""
+        geo = self.geo
+        cs = [a.centers for a in geo.axes]
+        if geo.kind == "cuboid":
+            z, y, x = np.meshgrid(*cs, indexing="ij")
+            pts = np.stack([x, y, z], axis=-1)  # reference order (x,y,z)
+        elif geo.kind == "annulus":
+            r, phi = np.meshgrid(*cs, indexing="ij")
+            pts = np.stack([r * np.cos(phi), r * np.sin(phi)], axis=-1)
+        else:
+            r, lat, lon = np.meshgrid(*cs, indexing="ij")
+            pts = np.stack(
+                [r * np.cos(lat) * np.cos(lon),
+                 r * np.cos(lat) * np.sin(lon),
+                 r * np.sin(lat)], axis=-1)
+        return jnp.asarray(pts, dtype=self.dtype)
+
+    def _wall_coords(self, axis: int, end: str) -> jnp.ndarray:
+        """Cartesian coordinates of the wall-boundary surface adjacent to
+        the first/last cell layer (shape = boundary slice + (dim,))."""
+        geo = self.geo
+        wall_val = geo.axes[axis].faces[0 if end == "lo" else -1]
+        cs = [a.centers.copy() for a in geo.axes]
+        cs[axis] = np.asarray([wall_val])
+        if geo.kind == "cuboid":
+            z, y, x = np.meshgrid(*cs, indexing="ij")
+            pts = np.stack([x, y, z], axis=-1)
+        elif geo.kind == "annulus":
+            r, phi = np.meshgrid(*cs, indexing="ij")
+            pts = np.stack([r * np.cos(phi), r * np.sin(phi)], axis=-1)
+        else:
+            r, lat, lon = np.meshgrid(*cs, indexing="ij")
+            pts = np.stack(
+                [r * np.cos(lat) * np.cos(lon),
+                 r * np.cos(lat) * np.sin(lon),
+                 r * np.sin(lat)], axis=-1)
+        return jnp.asarray(np.squeeze(pts, axis=axis), dtype=self.dtype)
+
+    # ------------------------------------------------------------------
+    def initial_state(self) -> State:
+        geo = self.geo
+        u = jnp.zeros((geo.dim,) + geo.cell_shape, dtype=self.dtype)
+        u_faces = tuple(
+            jnp.zeros(geo.face_shape(d), dtype=self.dtype) for d in range(geo.dim)
+        )
+        p = jnp.zeros(geo.cell_shape, dtype=self.dtype)
+        return State(u=u, u_faces=u_faces, p=p, T=self.T_init,
+                     time=jnp.asarray(0.0, self.dtype),
+                     step_number=jnp.asarray(0, jnp.int32))
+
+    # ------------------------------------------------------------------
+    def _interp_component_to_faces(self, u_c: jnp.ndarray, c: int) -> jnp.ndarray:
+        """Face-normal velocity for axis c from the collocated component."""
+        return st.to_faces(self.geo, u_c, c, self.u_specs[c][c])
+
+    def _apply_wall_face_values(self, uf: jnp.ndarray, d: int) -> jnp.ndarray:
+        """Enforce exact zero normal velocity on wall faces."""
+        if self.geo.axes[d].periodic:
+            return uf
+        # all wall axes in all geometries have zero normal flow (no-slip
+        # or no-normal-flux both imply u.n = 0; poles have zero area)
+        return uf.at[tuple([slice(None)] * d + [0])].set(0.0).at[
+            tuple([slice(None)] * d + [-1])].set(0.0)
+
+    # ------------------------------------------------------------------
+    def _step_impl(self, state: State, dt: jnp.ndarray):
+        geo = self.geo
+        p = self.params
+        dim = geo.dim
+        vol = self.vol
+        u, u_faces, pres, T = state.u, state.u_faces, state.p, state.T
+        dt = jnp.asarray(dt, self.dtype)
+        dt_T = dt / p.NSE_solver_interval
+
+        # ---------------- explicit forcing from step n ----------------
+        # buoyancy: rho(T) * g_hat  (reference: tpp:643-650, 594-597)
+        rho = nondim.density_scaling(self.beta, T, self.T_ref)
+        buoy = rho[None] * self.gravity
+
+        # advection of momentum
+        if self.advection_form == "advective":
+            adv = jnp.stack([
+                st.advect_scalar(geo, u_faces, u[c], self.u_specs[c],
+                                 scheme=self.advection_scheme, form="advective")
+                for c in range(dim)
+            ])
+            adv = adv + vec.advection_curvature(geo, u)
+        else:  # rotational / FEEC personality
+            adv = vec.rotational_advection(geo, u, self.u_specs, self.scalar_specs)
+
+        cor = vec.coriolis_acceleration(geo, u, self.omega_hat, self.coriolis_mode)
+
+        # explicit part of the viscous term: curvature corrections of the
+        # vector Laplacian (the componentwise part is implicit below)
+        visc_curv = self.one_over_Re * vec.vector_laplacian_curvature(
+            geo, u, self.u_specs)
+
+        forcing = -adv + cor + buoy + visc_curv
+
+        # incremental projection: include grad p^n in the predictor
+        if p.numerics.projection == "incremental":
+            gradp = jnp.stack([
+                st.centered_gradient(geo, pres, d, self.p_specs[d])
+                for d in range(dim)
+            ])
+            forcing = forcing - gradp
+
+        rhs_u = u + dt * forcing
+
+        # ---------------- implicit Helmholtz per component -------------
+        helm_iters = []
+        u_star = []
+        coef = dt * self.one_over_Re
+
+        for c in range(dim):
+            specs_c = self.u_specs[c]
+
+            def helm_op(x, specs_c=specs_c):
+                return vol * x - coef * st.weak_laplacian(geo, x, specs_c)
+
+            diag = vol + coef * self.helm_diags[c]
+            res = cg(helm_op, vol * rhs_u[c], x0=rhs_u[c],
+                     rtol=p.numerics.helmholtz_tol,
+                     maxiter=p.numerics.max_cg_iters,
+                     preconditioner=lambda r, d=diag: r / d)
+            u_star.append(res.x)
+            helm_iters.append(res.iterations)
+        u_star = jnp.stack(u_star)
+
+        # ---------------- pressure projection --------------------------
+        uf_star = [
+            self._apply_wall_face_values(
+                self._interp_component_to_faces(u_star[c], c), c)
+            for c in range(dim)
+        ]
+        div_star = st.divergence(geo, uf_star)
+
+        def poisson_op(x):
+            return -st.weak_laplacian(geo, x, self.p_specs)
+
+        rhs_phi = -vol * div_star / dt
+        rhs_phi = rhs_phi - st.volume_mean(geo, rhs_phi) * vol / jnp.mean(vol)
+        pres_res = cg(poisson_op, rhs_phi,
+                      rtol=p.numerics.poisson_tol,
+                      maxiter=p.numerics.max_cg_iters,
+                      preconditioner=lambda r: r / self.poisson_diag)
+        phi = pres_res.x
+        phi = phi - st.volume_mean(geo, phi)
+
+        # face correction: exactly divergence-free staggered velocities
+        new_faces = []
+        for d in range(dim):
+            gphi = st.diff_at_faces(geo, phi, d, self.p_specs[d])
+            uf_new = uf_star[d] - dt * gphi
+            new_faces.append(self._apply_wall_face_values(uf_new, d))
+        # cell-centered correction
+        gradphi_c = jnp.stack([
+            st.centered_gradient(geo, phi, d, self.p_specs[d]) for d in range(dim)
+        ])
+        u_new = u_star - dt * gradphi_c
+
+        if p.numerics.projection == "incremental":
+            p_new = pres + phi
+        else:
+            p_new = phi
+        if p.correct_pressure_to_zero_mean:
+            p_new = p_new - st.volume_mean(geo, p_new)
+
+        # ---------------- temperature (implicit diffusion) -------------
+        # advect with the OLD velocity (reference: assemble_temperature_rhs
+        # runs before solve_NSE, boussinesq_model.tpp:1883-1905)
+        adv_T = st.advect_scalar(geo, u_faces, T, self.T_specs,
+                                 scheme=self.advection_scheme, form="advective")
+        rhs_T = vol * (T - dt_T * adv_T) + dt_T * self.one_over_Pe * self.T_lap_offset
+
+        kT = dt_T * self.one_over_Pe
+
+        def temp_op(x):
+            return vol * x - kT * st.weak_laplacian(geo, x, self.T_specs_hom)
+
+        diag_T = vol + kT * self.T_diag
+        T_res = cg(temp_op, rhs_T, x0=T,
+                   rtol=p.numerics.temperature_tol,
+                   maxiter=p.numerics.max_cg_iters,
+                   preconditioner=lambda r: r / diag_T)
+        T_new = T_res.x
+
+        # ---------------- diagnostics ----------------------------------
+        speed = st.cell_max_speed(geo, u_new)
+        cfl = jnp.max(jnp.maximum(speed, 1e-10) / self.diameter)
+        max_vel = jnp.max(speed)
+        div_new = st.divergence(geo, new_faces)
+        diag = StepDiagnostics(
+            cfl=cfl,
+            max_velocity=max_vel,
+            T_min=jnp.min(T_new),
+            T_max=jnp.max(T_new),
+            div_norm=jnp.max(jnp.abs(div_new)),
+            helmholtz_iters=jnp.stack(helm_iters),
+            poisson_iters=pres_res.iterations,
+            temperature_iters=T_res.iterations,
+        )
+        new_state = State(
+            u=u_new, u_faces=tuple(new_faces), p=p_new, T=T_new,
+            time=state.time + dt_T,
+            step_number=state.step_number + 1,
+        )
+        return new_state, diag
+
+    # ------------------------------------------------------------------
+    def step(self, state: State, dt: float):
+        """One jitted time step; returns (new_state, diagnostics)."""
+        return self._jit_step(state, dt)
+
+    # ------------------------------------------------------------------
+    def compute_time_step(self, cfl: float) -> float:
+        """The reference's step-32 CFL formula
+        (reference: boussinesq_model.tpp:1104-1125)."""
+        dim = self.geo.dim
+        scaling = 0.25 if dim == 3 else 1.0
+        deg = max(self.params.temperature_degree, self.params.nse_velocity_degree)
+        return scaling / (2.1 * dim * math.sqrt(1.0 * dim)) / (deg * max(cfl, 1e-30))
+
+    # ------------------------------------------------------------------
+    def run(self, max_steps: Optional[int] = None, callback=None) -> Tuple[State, List[Dict]]:
+        """Full time loop mirroring the reference's run()
+        (boussinesq_model.tpp:1785-1927). Returns final state + per-step
+        diagnostic records."""
+        p = self.params
+        state = self.initial_state()
+        dt = p.time_step
+        history: List[Dict] = []
+        time_index = 0.0
+        n = 0
+        while time_index <= p.final_time:
+            if max_steps is not None and n >= max_steps:
+                break
+            state, diag = self.step(state, dt)
+            rec = {
+                "step": n,
+                "time": time_index,
+                "dt": dt,
+                "cfl": float(diag.cfl),
+                "max_velocity": float(diag.max_velocity),
+                "T_min": float(diag.T_min),
+                "T_max": float(diag.T_max),
+                "div_norm": float(diag.div_norm),
+                "poisson_iters": int(diag.poisson_iters),
+                "temperature_iters": int(diag.temperature_iters),
+            }
+            history.append(rec)
+            if callback is not None:
+                callback(state, rec)
+            time_index += dt / p.NSE_solver_interval
+            n += 1
+            # adaptive dt (reference: recompute only for step>0 at
+            # NSE-interval boundaries, tpp:1845-1850)
+            if p.adapt_time_step and n % p.NSE_solver_interval == 0:
+                dt = self.compute_time_step(float(diag.cfl))
+        return state, history

@@ -1,0 +1,176 @@
+"""Finite-volume stencil operators (jnp reference implementations).
+
+These are the TPU-native replacement for the reference's per-cell FEM
+assembly loops (reference: boussinesq_model.tpp:550-673 and
+boussineq_model_FEEC.tpp:669-875): instead of quadrature-point i x j dof
+loops feeding sparse matrices, every operator is a dense stencil over
+the structured grid that XLA fuses into a handful of HBM-bound kernels.
+Pallas variants of the fused hot paths live in ops/pallas_kernels.py;
+everything here is the always-available, shape-agnostic reference path
+used for correctness testing and CPU execution.
+
+All operators take the static `Geometry` (metrics enter as broadcast
+constants) and jnp arrays; all are jit/grad/shard-safe (pure, static
+shapes, no Python control flow on traced values).
+
+Face indexing convention (see grid/geometry.py):
+  periodic axis: n faces, face i between cells i-1 and i (wrap).
+  wall axis: n+1 faces, face i left of cell i.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from dycoreplanet_tpu.grid.geometry import Geometry
+from dycoreplanet_tpu.ops.bc import BC, BCSpec, pad_axis
+
+
+def _sl(f: jnp.ndarray, d: int, idx) -> jnp.ndarray:
+    sl = [slice(None)] * f.ndim
+    sl[d] = idx
+    return f[tuple(sl)]
+
+
+def _nf(geo: Geometry, d: int) -> int:
+    return geo.axes[d].n_faces
+
+
+def to_faces(geo: Geometry, f: jnp.ndarray, d: int,
+             spec: Optional[BCSpec] = None) -> jnp.ndarray:
+    """Arithmetic-mean interpolation of a cell-centered field to the
+    faces of axis ``d``."""
+    p = pad_axis(f, d, spec, geo.axes[d].periodic)
+    nf = _nf(geo, d)
+    return 0.5 * (_sl(p, d, slice(0, nf)) + _sl(p, d, slice(1, nf + 1)))
+
+
+def diff_at_faces(geo: Geometry, f: jnp.ndarray, d: int,
+                  spec: Optional[BCSpec] = None) -> jnp.ndarray:
+    """Normal derivative (f_i - f_{i-1}) / dist at the faces of axis d."""
+    p = pad_axis(f, d, spec, geo.axes[d].periodic)
+    nf = _nf(geo, d)
+    dist = jnp.asarray(geo.face_dist[d], dtype=f.dtype)
+    return (_sl(p, d, slice(1, nf + 1)) - _sl(p, d, slice(0, nf))) / dist
+
+
+def upwind_to_faces(geo: Geometry, f: jnp.ndarray, d: int, u_face: jnp.ndarray,
+                    spec: Optional[BCSpec] = None) -> jnp.ndarray:
+    """First-order upwind face value selected by the sign of the face
+    velocity (the FV analogue of the reference's explicit advection,
+    boussinesq_model.tpp:930-937)."""
+    p = pad_axis(f, d, spec, geo.axes[d].periodic)
+    nf = _nf(geo, d)
+    lo = _sl(p, d, slice(0, nf))
+    hi = _sl(p, d, slice(1, nf + 1))
+    return jnp.where(u_face > 0, lo, hi)
+
+
+def face_flux_div(geo: Geometry, face_vals: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Discrete divergence: (1/V) sum_d ( [A*q]_out - [A*q]_in ) for
+    face-normal quantities ``q`` (velocities or fluxes per unit area)."""
+    dtype = face_vals[0].dtype
+    vol = jnp.asarray(geo.vol, dtype=dtype)
+    out = None
+    for d, q in enumerate(face_vals):
+        aq = jnp.asarray(geo.face_area[d], dtype=dtype) * q
+        if geo.axes[d].periodic:
+            contrib = jnp.roll(aq, -1, axis=d) - aq
+        else:
+            contrib = _sl(aq, d, slice(1, None)) - _sl(aq, d, slice(0, -1))
+        out = contrib if out is None else out + contrib
+    return out / vol
+
+
+def divergence(geo: Geometry, u_faces: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Divergence of a face-normal velocity field."""
+    return face_flux_div(geo, u_faces)
+
+
+def weak_laplacian(geo: Geometry, f: jnp.ndarray,
+                   specs: Sequence[Optional[BCSpec]]) -> jnp.ndarray:
+    """Volume-weighted (weak-form) Laplacian: sum_faces A * df/dn.
+
+    Symmetric (SPD up to sign/nullspace) in the plain dot product — the
+    operator handed to CG, standing in for the assembled stiffness
+    matrices of the reference (boussinesq_model.tpp:153-180)."""
+    out = None
+    for d in range(geo.dim):
+        g = diff_at_faces(geo, f, d, specs[d])
+        ag = jnp.asarray(geo.face_area[d], dtype=f.dtype) * g
+        if geo.axes[d].periodic:
+            contrib = jnp.roll(ag, -1, axis=d) - ag
+        else:
+            contrib = _sl(ag, d, slice(1, None)) - _sl(ag, d, slice(0, -1))
+        out = contrib if out is None else out + contrib
+    return out
+
+
+def laplacian(geo: Geometry, f: jnp.ndarray,
+              specs: Sequence[Optional[BCSpec]]) -> jnp.ndarray:
+    """Pointwise Laplacian div(grad f) = weak_laplacian / V."""
+    return weak_laplacian(geo, f, specs) / jnp.asarray(geo.vol, dtype=f.dtype)
+
+
+def advect_scalar(
+    geo: Geometry,
+    u_faces: Sequence[jnp.ndarray],
+    f: jnp.ndarray,
+    specs: Sequence[Optional[BCSpec]],
+    scheme: str = "upwind",
+    form: str = "advective",
+) -> jnp.ndarray:
+    """u . grad f (advective form, matching the reference's explicit
+    advection term) or div(u f) (flux/conservative form).
+
+    The two coincide for discretely divergence-free u; the advective
+    form subtracts f*div(u) so that the operator is exactly the
+    directional derivative even for the predictor velocity."""
+    face_vals = []
+    for d in range(geo.dim):
+        if scheme == "upwind":
+            fv = upwind_to_faces(geo, f, d, u_faces[d], specs[d])
+        elif scheme == "centered":
+            fv = to_faces(geo, f, d, specs[d])
+        else:
+            raise ValueError(f"unknown advection scheme {scheme!r}")
+        face_vals.append(u_faces[d] * fv)
+    div_uf = face_flux_div(geo, face_vals)
+    if form == "flux":
+        return div_uf
+    if form == "advective":
+        return div_uf - f * divergence(geo, u_faces)
+    raise ValueError(f"unknown advection form {form!r}")
+
+
+def centered_gradient(geo: Geometry, f: jnp.ndarray, d: int,
+                      spec: Optional[BCSpec] = None) -> jnp.ndarray:
+    """Cell-centered gradient component along axis d: average of the two
+    adjacent face-normal derivatives."""
+    g = diff_at_faces(geo, f, d, spec)
+    if geo.axes[d].periodic:
+        return 0.5 * (g + jnp.roll(g, -1, axis=d))
+    return 0.5 * (_sl(g, d, slice(0, -1)) + _sl(g, d, slice(1, None)))
+
+
+def cell_max_speed(geo: Geometry, u: jnp.ndarray) -> jnp.ndarray:
+    """|u| at cell centers (u: (dim, *cells)) — feeds the CFL formula
+    (reference: boussinesq_model.tpp:1064-1101)."""
+    return jnp.sqrt(jnp.sum(u * u, axis=0))
+
+
+def volume_mean(geo: Geometry, f: jnp.ndarray) -> jnp.ndarray:
+    """Volume-weighted mean (reference: VectorTools::compute_mean_value
+    used for the pressure zero-mean correction,
+    nested_schur_complement.hpp:170-183)."""
+    vol = jnp.asarray(geo.vol, dtype=f.dtype)
+    w = jnp.broadcast_to(vol, f.shape)
+    return jnp.sum(f * w) / jnp.sum(w)
+
+
+def volume_integral(geo: Geometry, f: jnp.ndarray) -> jnp.ndarray:
+    vol = jnp.asarray(geo.vol, dtype=f.dtype)
+    return jnp.sum(f * jnp.broadcast_to(vol, f.shape))
