@@ -355,8 +355,11 @@ class BoussinesqModel:
         def poisson_op(x):
             return -st.weak_laplacian(geo, x, self.p_specs)
 
+        # compatibility: the all-ones vector spans the nullspace of the
+        # weak Laplacian, so sum(rhs) must vanish; analytically it does
+        # (total boundary flux is zero), subtract the float drift.
         rhs_phi = -vol * div_star / dt
-        rhs_phi = rhs_phi - st.volume_mean(geo, rhs_phi) * vol / jnp.mean(vol)
+        rhs_phi = rhs_phi - jnp.mean(rhs_phi)
         pres_res = cg(poisson_op, rhs_phi,
                       rtol=p.numerics.poisson_tol,
                       maxiter=p.numerics.max_cg_iters,
