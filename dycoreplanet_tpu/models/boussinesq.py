@@ -257,8 +257,9 @@ class BoussinesqModel:
     def initial_state(self) -> State:
         geo = self.geo
         u = jnp.zeros((geo.dim,) + geo.cell_shape, dtype=self.dtype)
+        # cell-shaped staggered faces (left-face convention)
         u_faces = tuple(
-            jnp.zeros(geo.face_shape(d), dtype=self.dtype) for d in range(geo.dim)
+            jnp.zeros(geo.cell_shape, dtype=self.dtype) for _ in range(geo.dim)
         )
         p = jnp.zeros(geo.cell_shape, dtype=self.dtype)
         return State(u=u, u_faces=u_faces, p=p, T=self.T_init,
@@ -271,13 +272,13 @@ class BoussinesqModel:
         return st.to_faces(self.geo, u_c, c, self.u_specs[c][c])
 
     def _apply_wall_face_values(self, uf: jnp.ndarray, d: int) -> jnp.ndarray:
-        """Enforce exact zero normal velocity on wall faces."""
+        """Enforce exact zero normal velocity on wall faces (cell-shaped
+        faces: index 0 is the lo wall; the hi wall face is implicit)."""
         if self.geo.axes[d].periodic:
             return uf
         # all wall axes in all geometries have zero normal flow (no-slip
         # or no-normal-flux both imply u.n = 0; poles have zero area)
-        return uf.at[tuple([slice(None)] * d + [0])].set(0.0).at[
-            tuple([slice(None)] * d + [-1])].set(0.0)
+        return uf.at[tuple([slice(None)] * d + [0])].set(0.0)
 
     # ------------------------------------------------------------------
     def _step_impl(self, state: State, dt: jnp.ndarray):
@@ -370,7 +371,7 @@ class BoussinesqModel:
         # face correction: exactly divergence-free staggered velocities
         new_faces = []
         for d in range(dim):
-            gphi = st.diff_at_faces(geo, phi, d, self.p_specs[d])
+            gphi = st.grad_left_faces(geo, phi, d, self.p_specs[d])
             uf_new = uf_star[d] - dt * gphi
             new_faces.append(self._apply_wall_face_values(uf_new, d))
         # cell-centered correction

@@ -13,9 +13,16 @@ All operators take the static `Geometry` (metrics enter as broadcast
 constants) and jnp arrays; all are jit/grad/shard-safe (pure, static
 shapes, no Python control flow on traced values).
 
-Face indexing convention (see grid/geometry.py):
-  periodic axis: n faces, face i between cells i-1 and i (wrap).
-  wall axis: n+1 faces, face i left of cell i.
+Face indexing conventions:
+  * "full faces" (internal to the diffusion operators): periodic axis n
+    faces (face i between cells i-1 and i, wrap); wall axis n+1 faces.
+  * "cell-shaped faces" (the public staggered-velocity layout used by
+    the model state and the projection): ALWAYS n entries per axis,
+    entry i = the LEFT face of cell i. The hi-wall face is implicit and
+    carries zero normal velocity (true for every geometry here: no-slip
+    or no-normal-flux walls, zero-area pole faces). Uniform cell shapes
+    across all arrays keep the sharding layout trivial (every array
+    partitions identically over the device mesh) and TPU tiles regular.
 """
 
 from __future__ import annotations
@@ -39,48 +46,75 @@ def _nf(geo: Geometry, d: int) -> int:
     return geo.axes[d].n_faces
 
 
+def _left_metric(geo: Geometry, d: int, metric) -> jnp.ndarray:
+    """Metric array restricted to the left faces (cell-shaped)."""
+    m = np.asarray(metric)
+    if not geo.axes[d].periodic and m.shape[d] == geo.axes[d].n + 1:
+        sl = [slice(None)] * m.ndim
+        sl[d] = slice(0, -1)
+        m = m[tuple(sl)]
+    return m
+
+
 def to_faces(geo: Geometry, f: jnp.ndarray, d: int,
              spec: Optional[BCSpec] = None) -> jnp.ndarray:
     """Arithmetic-mean interpolation of a cell-centered field to the
-    faces of axis ``d``."""
+    LEFT faces of axis ``d`` (cell-shaped output)."""
     p = pad_axis(f, d, spec, geo.axes[d].periodic)
-    nf = _nf(geo, d)
-    return 0.5 * (_sl(p, d, slice(0, nf)) + _sl(p, d, slice(1, nf + 1)))
+    n = geo.axes[d].n
+    return 0.5 * (_sl(p, d, slice(0, n)) + _sl(p, d, slice(1, n + 1)))
 
 
 def diff_at_faces(geo: Geometry, f: jnp.ndarray, d: int,
                   spec: Optional[BCSpec] = None) -> jnp.ndarray:
-    """Normal derivative (f_i - f_{i-1}) / dist at the faces of axis d."""
+    """Normal derivative (f_i - f_{i-1}) / dist at the FULL faces of
+    axis d (n+1 along wall axes) — internal to the diffusion operators."""
     p = pad_axis(f, d, spec, geo.axes[d].periodic)
     nf = _nf(geo, d)
     dist = jnp.asarray(geo.face_dist[d], dtype=f.dtype)
     return (_sl(p, d, slice(1, nf + 1)) - _sl(p, d, slice(0, nf))) / dist
 
 
+def grad_left_faces(geo: Geometry, f: jnp.ndarray, d: int,
+                    spec: Optional[BCSpec] = None) -> jnp.ndarray:
+    """Normal derivative at the left faces (cell-shaped)."""
+    p = pad_axis(f, d, spec, geo.axes[d].periodic)
+    n = geo.axes[d].n
+    dist = jnp.asarray(_left_metric(geo, d, geo.face_dist[d]), dtype=f.dtype)
+    return (_sl(p, d, slice(1, n + 1)) - _sl(p, d, slice(0, n))) / dist
+
+
 def upwind_to_faces(geo: Geometry, f: jnp.ndarray, d: int, u_face: jnp.ndarray,
                     spec: Optional[BCSpec] = None) -> jnp.ndarray:
-    """First-order upwind face value selected by the sign of the face
-    velocity (the FV analogue of the reference's explicit advection,
-    boussinesq_model.tpp:930-937)."""
+    """First-order upwind value at the left faces selected by the sign
+    of the face velocity (the FV analogue of the reference's explicit
+    advection, boussinesq_model.tpp:930-937). Cell-shaped."""
     p = pad_axis(f, d, spec, geo.axes[d].periodic)
-    nf = _nf(geo, d)
-    lo = _sl(p, d, slice(0, nf))
-    hi = _sl(p, d, slice(1, nf + 1))
+    n = geo.axes[d].n
+    lo = _sl(p, d, slice(0, n))
+    hi = _sl(p, d, slice(1, n + 1))
     return jnp.where(u_face > 0, lo, hi)
 
 
 def face_flux_div(geo: Geometry, face_vals: Sequence[jnp.ndarray]) -> jnp.ndarray:
     """Discrete divergence: (1/V) sum_d ( [A*q]_out - [A*q]_in ) for
-    face-normal quantities ``q`` (velocities or fluxes per unit area)."""
+    cell-shaped face-normal quantities ``q``. Along wall axes the
+    implicit hi-wall flux is zero (see module docstring)."""
     dtype = face_vals[0].dtype
     vol = jnp.asarray(geo.vol, dtype=dtype)
     out = None
     for d, q in enumerate(face_vals):
-        aq = jnp.asarray(geo.face_area[d], dtype=dtype) * q
+        area = jnp.asarray(_left_metric(geo, d, geo.face_area[d]), dtype=dtype)
+        aq = area * q
         if geo.axes[d].periodic:
             contrib = jnp.roll(aq, -1, axis=d) - aq
         else:
-            contrib = _sl(aq, d, slice(1, None)) - _sl(aq, d, slice(0, -1))
+            # outflux of cell i = aq[i+1] for i<n-1, zero at the hi wall
+            n = geo.axes[d].n
+            shifted = jnp.concatenate(
+                [_sl(aq, d, slice(1, n)),
+                 jnp.zeros_like(_sl(aq, d, slice(0, 1)))], axis=d)
+            contrib = shifted - aq
         out = contrib if out is None else out + contrib
     return out / vol
 

@@ -53,8 +53,13 @@ def cg(
         x0 = jnp.zeros_like(b)
     M = preconditioner if preconditioner is not None else (lambda r: r)
 
+    # clamp the relative tolerance to what the dtype can express —
+    # asking f32 for 1e-8 (the reference's f64 tolerances) would stall
+    # the iteration at maxiter and let roundoff corrupt the iterate
+    eps = float(jnp.finfo(b.dtype).eps)
+    rtol_eff = max(rtol, 16.0 * eps)
     b_norm = jnp.sqrt(_dot(b, b))
-    stop = jnp.maximum(rtol * b_norm, atol)
+    stop = jnp.maximum(rtol_eff * b_norm, atol)
 
     r0 = b - operator(x0)
     z0 = M(r0)
