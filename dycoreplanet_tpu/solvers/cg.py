@@ -8,7 +8,17 @@ and every inner product is a single global reduction (the only global
 collective on a sharded mesh — `psum` under the hood via GSPMD).
 
 Tolerance semantics match the reference: stop when
-||r|| <= rtol * ||b||  (SolverControl(max_iter, rtol * rhs.l2_norm())).
+||r|| <= rtol * ||b||  (SolverControl(max_iter, rtol * rhs.l2_norm())),
+with two robustness additions for low precision:
+  * the relative tolerance is clamped to 16*eps(dtype) — f32 cannot
+    express the reference's 1e-8/1e-12 f64 tolerances;
+  * the best iterate (smallest true-residual norm) is tracked and
+    returned, and the loop aborts once the residual grows 4x above the
+    best seen — finite-precision CG driven past its attainable accuracy
+    diverges rather than stagnates, which must not corrupt the result
+    (the reference leans on Trilinos + f64 and never hits this; see
+    also its deliberate swallowing of NoConvergence,
+    approximate_inverse.hpp:120-123).
 """
 
 from __future__ import annotations
@@ -22,9 +32,9 @@ import jax.numpy as jnp
 
 class CGResult(NamedTuple):
     x: jnp.ndarray
-    iterations: jnp.ndarray   # scalar int32
-    residual_norm: jnp.ndarray  # scalar, final ||r||
-    converged: jnp.ndarray    # scalar bool
+    iterations: jnp.ndarray     # scalar int32
+    residual_norm: jnp.ndarray  # scalar, best ||r|| reached
+    converged: jnp.ndarray      # scalar bool
 
 
 def _dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -47,15 +57,12 @@ def cg(
 
     Fully jit-compatible: fixed `maxiter` bound, traced early exit via
     `lax.while_loop`. The preconditioner must be SPD as well (Jacobi /
-    Chebyshev / multigrid V-cycle).
+    Chebyshev / multigrid V-cycle). Returns the best iterate seen.
     """
     if x0 is None:
         x0 = jnp.zeros_like(b)
     M = preconditioner if preconditioner is not None else (lambda r: r)
 
-    # clamp the relative tolerance to what the dtype can express —
-    # asking f32 for 1e-8 (the reference's f64 tolerances) would stall
-    # the iteration at maxiter and let roundoff corrupt the iterate
     eps = float(jnp.finfo(b.dtype).eps)
     rtol_eff = max(rtol, 16.0 * eps)
     b_norm = jnp.sqrt(_dot(b, b))
@@ -65,13 +72,16 @@ def cg(
     z0 = M(r0)
     p0 = z0
     rz0 = _dot(r0, z0)
+    rnorm0 = jnp.sqrt(_dot(r0, r0))
 
     def cond(state):
-        x, r, p, rz, k, rnorm = state
-        return jnp.logical_and(k < maxiter, rnorm > stop)
+        x, r, p, rz, k, rnorm, x_best, rbest = state
+        ok = jnp.logical_and(k < maxiter, rnorm > stop)
+        # divergence guard: finite-precision CG past attainable accuracy
+        return jnp.logical_and(ok, rnorm < 4.0 * rbest + stop)
 
     def body(state):
-        x, r, p, rz, k, _ = state
+        x, r, p, rz, k, _, x_best, rbest = state
         Ap = operator(p)
         pAp = _dot(p, Ap)
         alpha = jnp.where(pAp > 0, rz / pAp, 0.0)
@@ -82,8 +92,12 @@ def cg(
         beta = jnp.where(rz > 0, rz_new / rz, 0.0)
         p = z + beta * p
         rnorm = jnp.sqrt(_dot(r, r))
-        return (x, r, p, rz_new, k + 1, rnorm)
+        better = rnorm < rbest
+        x_best = jnp.where(better, x, x_best)
+        rbest = jnp.where(better, rnorm, rbest)
+        return (x, r, p, rz_new, k + 1, rnorm, x_best, rbest)
 
-    init = (x0, r0, p0, rz0, jnp.asarray(0, jnp.int32), jnp.sqrt(_dot(r0, r0)))
-    x, r, p, rz, k, rnorm = jax.lax.while_loop(cond, body, init)
-    return CGResult(x=x, iterations=k, residual_norm=rnorm, converged=rnorm <= stop)
+    init = (x0, r0, p0, rz0, jnp.asarray(0, jnp.int32), rnorm0, x0, rnorm0)
+    x, r, p, rz, k, rnorm, x_best, rbest = jax.lax.while_loop(cond, body, init)
+    return CGResult(x=x_best, iterations=k, residual_norm=rbest,
+                    converged=rbest <= stop)
