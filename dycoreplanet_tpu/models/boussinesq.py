@@ -205,6 +205,28 @@ class BoussinesqModel:
         # --- Jacobi preconditioner diagonals
         self.poisson_diag = jnp.asarray(
             -weak_laplacian_diagonal(geo, self.p_specs), dtype=dt_np)
+        # --- pressure solver strategy (replaces the reference's
+        # Schur-complement/ILU/AMG stack, boussinesq_model.tpp:1248-1414):
+        #   'auto'/'fft': longitude-spectral — exact FFT+Thomas direct
+        #       solves for cuboid/annulus, FFT + line-preconditioned
+        #       batched CG for the shell (solvers/spectral.py)
+        #   'mg': geometric-multigrid-preconditioned CG
+        #   'cg': Jacobi-preconditioned CG (always-available fallback)
+        self.poisson_precond = None
+        self.poisson_spectral = None
+        solver_choice = params.numerics.poisson_solver
+        if solver_choice in ("auto", "fft"):
+            from dycoreplanet_tpu.solvers.spectral import make_poisson_solver
+
+            kw = {}
+            if geo.kind == "shell":
+                kw = dict(rtol=params.numerics.poisson_tol,
+                          maxiter=params.numerics.max_cg_iters)
+            self.poisson_spectral = make_poisson_solver(geo, dtype=dt_np, **kw)
+        elif solver_choice == "mg":
+            from dycoreplanet_tpu.solvers.multigrid import PoissonMultigrid
+
+            self.poisson_precond = PoissonMultigrid(geo, self.p_specs, dtype=dt_np)
         self.helm_diags = [
             jnp.asarray(-weak_laplacian_diagonal(geo, self.u_specs[c]), dtype=dt_np)
             for c in range(geo.dim)
@@ -361,11 +383,16 @@ class BoussinesqModel:
         # (total boundary flux is zero), subtract the float drift.
         rhs_phi = -vol * div_star / dt
         rhs_phi = rhs_phi - jnp.mean(rhs_phi)
-        pres_res = cg(poisson_op, rhs_phi,
-                      rtol=p.numerics.poisson_tol,
-                      maxiter=p.numerics.max_cg_iters,
-                      preconditioner=lambda r: r / self.poisson_diag)
-        phi = pres_res.x
+        if self.poisson_spectral is not None:
+            phi, poisson_iters = self.poisson_spectral.solve(rhs_phi)
+        else:
+            precond = (self.poisson_precond if self.poisson_precond is not None
+                       else (lambda r: r / self.poisson_diag))
+            pres_res = cg(poisson_op, rhs_phi,
+                          rtol=p.numerics.poisson_tol,
+                          maxiter=p.numerics.max_cg_iters,
+                          preconditioner=precond)
+            phi, poisson_iters = pres_res.x, pres_res.iterations
         phi = phi - st.volume_mean(geo, phi)
 
         # face correction: exactly divergence-free staggered velocities
@@ -418,7 +445,7 @@ class BoussinesqModel:
             T_max=jnp.max(T_new),
             div_norm=jnp.max(jnp.abs(div_new)),
             helmholtz_iters=jnp.stack(helm_iters),
-            poisson_iters=pres_res.iterations,
+            poisson_iters=poisson_iters,
             temperature_iters=T_res.iterations,
         )
         new_state = State(

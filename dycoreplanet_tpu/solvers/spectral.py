@@ -1,0 +1,222 @@
+"""Spectral-direct and spectral-preconditioned Poisson solvers.
+
+The TPU speed-of-light replacement for the reference's Schur-complement
+pressure onion (reference: solve_NSE_Schur_complement,
+boussinesq_model.tpp:1248-1414 — nested GMRES/CG/ILU per time step):
+every geometry here has at least one translation-invariant periodic
+axis along whose modes the weak Laplacian block-diagonalizes EXACTLY
+(the metric coefficients never depend on the periodic coordinates):
+
+  cuboid  (z, y, x):  rfft2 over (y, x) -> independent tridiagonal
+                      systems in z  -> DIRECT solve (batched Thomas)
+  annulus (r, phi):   rfft over phi -> independent tridiagonal systems
+                      in r          -> DIRECT solve
+  shell   (r, lat, lon): rfft over lon -> independent 2D (r, lat)
+                      systems per mode; the pole-adjacent longitude
+                      stiffness (the 1/cos(lat) blowup that defeats
+                      point-smoothers) becomes a harmless DIAGONAL
+                      shift. Solved by batched CG over all modes with
+                      an exact radial line preconditioner (batched
+                      Thomas) — iterations are set by the benign 2D
+                      (r, lat) conditioning, not the 3D polar one.
+
+All solvers operate on the volume-integrated ("weak") form:
+    solve  -weak_laplacian(x) = b,   sum(b) = 0 (compatibility).
+The constant nullspace of the pure-Neumann problem is pinned by a
+rank-one modification of the zero mode (adds the particular solution
+with x[0] = 0 — exact, see _pin note), callers re-normalize the mean.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dycoreplanet_tpu.grid.geometry import Geometry
+from dycoreplanet_tpu.solvers.tridiag import thomas_solve
+from dycoreplanet_tpu.solvers.cg import cg
+
+
+def _conductance(geo: Geometry, d: int) -> np.ndarray:
+    """A/dist at the full faces of axis d (wall faces zeroed — Neumann:
+    no flux through walls enters the pressure operator)."""
+    c = np.broadcast_to(
+        np.asarray(geo.face_area[d]) / np.asarray(geo.face_dist[d]),
+        geo.face_shape(d),
+    ).copy()
+    if not geo.axes[d].periodic:
+        first = [slice(None)] * geo.dim
+        first[d] = slice(0, 1)
+        last = [slice(None)] * geo.dim
+        last[d] = slice(-1, None)
+        c[tuple(first)] = 0.0
+        c[tuple(last)] = 0.0
+    return c
+
+
+def _mu(n: int, rfft: bool) -> np.ndarray:
+    """Eigenvalues of the periodic [1, -2, 1] stencil: -4 sin^2(pi k/n)."""
+    k = np.arange(n // 2 + 1 if rfft else n)
+    return -4.0 * np.sin(np.pi * k / n) ** 2
+
+
+class CuboidPoissonDirect:
+    """Exact solve via rfft2 over (y, x) + batched Thomas in z."""
+
+    def __init__(self, geo: Geometry, dtype=jnp.float32):
+        assert geo.kind == "cuboid"
+        self.geo = geo
+        nz, ny, nx = geo.cell_shape
+        az = _conductance(geo, 0)[:, 0, 0]          # (nz+1,)
+        cy = float(_conductance(geo, 1)[0, 0, 0])
+        cx = float(_conductance(geo, 2)[0, 0, 0])
+        mu_y = _mu(ny, rfft=False)                   # (ny,)
+        mu_x = _mu(nx, rfft=True)                    # (nx//2+1,)
+        shift = -(cy * mu_y[:, None] + cx * mu_x[None, :])  # (ny, nxh) >= 0
+        diag = (az[:-1] + az[1:])[:, None, None] + shift[None]  # (nz, ny, nxh)
+        # pin the (0,0) mode's first cell (nullspace ground, see module doc)
+        diag = diag.copy()
+        diag[0, 0, 0] += az[1] if nz > 1 else 1.0
+        lower = np.broadcast_to(-az[:-1, None, None], diag.shape).copy()
+        upper = np.broadcast_to(-az[1:, None, None], diag.shape).copy()
+        f = jnp.asarray
+        self._lower, self._diag, self._upper = f(lower, dtype=dtype), f(diag, dtype=dtype), f(upper, dtype=dtype)
+
+    def __call__(self, b: jnp.ndarray) -> jnp.ndarray:
+        return self.solve(b)[0]
+
+    def solve(self, b: jnp.ndarray):
+        bh = jnp.fft.rfft2(b, axes=(1, 2))
+        xr = thomas_solve(self._lower, self._diag, self._upper, bh.real)
+        xi = thomas_solve(self._lower, self._diag, self._upper, bh.imag)
+        xh = xr + 1j * xi
+        x = jnp.fft.irfft2(xh, s=b.shape[1:], axes=(1, 2))
+        return x.astype(b.dtype), jnp.asarray(0, jnp.int32)
+
+
+class AnnulusPoissonDirect:
+    """Exact solve via rfft over phi + batched Thomas in r."""
+
+    def __init__(self, geo: Geometry, dtype=jnp.float32):
+        assert geo.kind == "annulus"
+        self.geo = geo
+        nr, nphi = geo.cell_shape
+        ar = _conductance(geo, 0)[:, 0]              # (nr+1,)
+        cphi = _conductance(geo, 1)[:, 0]            # (nr,) = dr/(r dphi)
+        mu = _mu(nphi, rfft=True)                    # (nphi//2+1,)
+        diag = (ar[:-1] + ar[1:])[:, None] - cphi[:, None] * mu[None, :]
+        diag = diag.copy()
+        diag[0, 0] += ar[1] if nr > 1 else 1.0       # pin k=0 mode
+        lower = np.broadcast_to(-ar[:-1, None], diag.shape).copy()
+        upper = np.broadcast_to(-ar[1:, None], diag.shape).copy()
+        f = jnp.asarray
+        self._lower, self._diag, self._upper = f(lower, dtype=dtype), f(diag, dtype=dtype), f(upper, dtype=dtype)
+
+    def __call__(self, b: jnp.ndarray) -> jnp.ndarray:
+        return self.solve(b)[0]
+
+    def solve(self, b: jnp.ndarray):
+        bh = jnp.fft.rfft(b, axis=1)
+        xr = thomas_solve(self._lower, self._diag, self._upper, bh.real)
+        xi = thomas_solve(self._lower, self._diag, self._upper, bh.imag)
+        x = jnp.fft.irfft(xr + 1j * xi, n=b.shape[1], axis=1)
+        return x.astype(b.dtype), jnp.asarray(0, jnp.int32)
+
+
+class ShellPoissonSpectral:
+    """rfft over lon + batched-mode CG with exact radial line
+    preconditioning.
+
+    Spectral-space operator for mode k (real coefficients, applied
+    identically to Re and Im parts, stacked along the last axis):
+      (A_k x)_{ij} = (a_i + a_{i+1} + b_j + b_{j+1} - c_{ij} mu_k) x_{ij}
+                     - a_i x_{i-1,j} - a_{i+1} x_{i+1,j}
+                     - b_j x_{i,j-1} - b_{j+1} x_{i,j+1}
+    with a = A_r/dist_r (radial), b = A_lat/dist_lat (zero at poles),
+    c = A_lon/dist_lon (the 1/cos(lat) polar stiffness, diagonal here).
+    """
+
+    def __init__(self, geo: Geometry, dtype=jnp.float32,
+                 rtol: float = 1e-7, maxiter: int = 120):
+        assert geo.kind == "shell"
+        self.geo = geo
+        self.rtol = rtol
+        self.maxiter = maxiter
+        nr, nlat, nlon = geo.cell_shape
+        self.nm = nlon // 2 + 1
+        a = _conductance(geo, 0)[:, :, 0]            # (nr+1, nlat)
+        bb = _conductance(geo, 1)[:, :, 0]           # (nr, nlat+1)
+        c = _conductance(geo, 2)[:, :, 0]            # (nr, nlat)
+        mu = _mu(nlon, rfft=True)                    # (nm,)
+        mu2 = np.concatenate([mu, mu])               # re + im stacking
+
+        f = lambda x: jnp.asarray(x, dtype=dtype)
+        self._a_lo = f(a[:-1, :, None])              # (nr, nlat, 1)
+        self._a_hi = f(a[1:, :, None])
+        self._b_lo = f(bb[:, :-1, None])
+        self._b_hi = f(bb[:, 1:, None])
+        self._c = f(c[:, :, None])
+        self._mu2 = f(mu2[None, None, :])            # (1, 1, 2nm)
+
+        diag = (a[:-1] + a[1:] + bb[:, :-1] + bb[:, 1:])[:, :, None] \
+            - c[:, :, None] * mu2[None, None, :]
+        self._diag = f(diag)
+        # nullspace deflation for the k=0 (real) mode: add
+        # sigma * (1 1^T)/N on that slice — shifts the constant
+        # nullvector's eigenvalue to sigma (well-scaled, unlike a
+        # single-cell pin whose tiny support near the pole leaves a
+        # near-singular system); the solution changes only in its
+        # constant component, which callers re-normalize anyway.
+        self._sigma = float(diag.mean())
+        n2d = nr * nlat
+        self._defl_scale = self._sigma / n2d
+        # radial line preconditioner factors (tridiag in r per (lat,mode))
+        self._p_lower = jnp.broadcast_to(-self._a_lo, diag.shape)
+        self._p_upper = jnp.broadcast_to(-self._a_hi, diag.shape)
+
+    def _apply(self, x: jnp.ndarray) -> jnp.ndarray:
+        """A x in spectral space; x: (nr, nlat, 2nm)."""
+        ax = self._diag * x
+        # radial neighbors (wall conductances already zero)
+        ax = ax - self._a_lo * jnp.concatenate(
+            [jnp.zeros_like(x[:1]), x[:-1]], axis=0)
+        ax = ax - self._a_hi * jnp.concatenate(
+            [x[1:], jnp.zeros_like(x[:1])], axis=0)
+        # latitude neighbors (pole conductances zero)
+        ax = ax - self._b_lo * jnp.concatenate(
+            [jnp.zeros_like(x[:, :1]), x[:, :-1]], axis=1)
+        ax = ax - self._b_hi * jnp.concatenate(
+            [x[:, 1:], jnp.zeros_like(x[:, :1])], axis=1)
+        # k=0 real-mode deflation (see __init__)
+        defl = self._defl_scale * jnp.sum(x[:, :, 0])
+        ax = ax.at[:, :, 0].add(defl)
+        return ax
+
+    def _line_precond(self, r: jnp.ndarray) -> jnp.ndarray:
+        return thomas_solve(self._p_lower, self._diag, self._p_upper, r)
+
+    def __call__(self, b: jnp.ndarray) -> jnp.ndarray:
+        return self.solve(b)[0]
+
+    def solve(self, b: jnp.ndarray):
+        nlon = self.geo.cell_shape[2]
+        bh = jnp.fft.rfft(b, axis=2)
+        bs = jnp.concatenate([bh.real, bh.imag], axis=2).astype(b.dtype)
+        res = cg(self._apply, bs, rtol=self.rtol, maxiter=self.maxiter,
+                 preconditioner=self._line_precond)
+        xs = res.x
+        nm = self.nm
+        xh = xs[:, :, :nm] + 1j * xs[:, :, nm:]
+        x = jnp.fft.irfft(xh, n=nlon, axis=2)
+        return x.astype(b.dtype), res.iterations
+
+
+def make_poisson_solver(geo: Geometry, dtype=jnp.float32, **kw):
+    if geo.kind == "cuboid":
+        return CuboidPoissonDirect(geo, dtype=dtype)
+    if geo.kind == "annulus":
+        return AnnulusPoissonDirect(geo, dtype=dtype)
+    return ShellPoissonSpectral(geo, dtype=dtype, **kw)

@@ -1,0 +1,98 @@
+"""Spectral Poisson solver tests: exactness of the direct solvers and
+convergence of the shell spectral-CG against the weak Laplacian."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dycoreplanet_tpu.grid import make_annulus, make_cuboid, make_shell
+from dycoreplanet_tpu.ops.bc import BC, BCSpec
+from dycoreplanet_tpu.ops import stencil as st
+from dycoreplanet_tpu.solvers.spectral import (
+    AnnulusPoissonDirect,
+    CuboidPoissonDirect,
+    ShellPoissonSpectral,
+)
+
+NEU = BCSpec(BC.NEUMANN, BC.NEUMANN)
+
+
+def _mean_free(x):
+    return x - jnp.mean(x)
+
+
+class TestCuboidDirect:
+    def test_exact_inverse(self):
+        g = make_cuboid(8, 12, 16)
+        specs = [NEU, None, None]
+        solver = CuboidPoissonDirect(g, dtype=jnp.float64)
+        rng = np.random.RandomState(0)
+        x_true = _mean_free(jnp.asarray(rng.randn(*g.cell_shape)))
+        b = -st.weak_laplacian(g, x_true, specs)
+        x = _mean_free(solver(b))
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_true), atol=1e-10)
+
+    def test_f32_accuracy(self):
+        g = make_cuboid(8, 16, 16)
+        specs = [NEU, None, None]
+        solver = CuboidPoissonDirect(g, dtype=jnp.float32)
+        rng = np.random.RandomState(1)
+        x_true = _mean_free(jnp.asarray(rng.randn(*g.cell_shape), dtype=jnp.float32))
+        b = -st.weak_laplacian(g, x_true, specs)
+        x = _mean_free(solver(b))
+        assert float(jnp.max(jnp.abs(x - x_true))) < 1e-4
+
+
+class TestAnnulusDirect:
+    def test_exact_inverse(self):
+        g = make_annulus(16, 48, 1.0, 3.0)
+        specs = [NEU, None]
+        solver = AnnulusPoissonDirect(g, dtype=jnp.float64)
+        rng = np.random.RandomState(2)
+        x_true = _mean_free(jnp.asarray(rng.randn(*g.cell_shape)))
+        b = -st.weak_laplacian(g, x_true, specs)
+        x = _mean_free(solver(b))
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_true), atol=1e-10)
+
+    def test_thin_production_annulus(self):
+        # aqua_planet.prm regime: r in [637.1, 647.1] — extreme aspect
+        g = make_annulus(16, 192, 637.1, 647.1)
+        specs = [NEU, None]
+        solver = AnnulusPoissonDirect(g, dtype=jnp.float64)
+        rng = np.random.RandomState(3)
+        x_true = _mean_free(jnp.asarray(rng.randn(*g.cell_shape)))
+        b = -st.weak_laplacian(g, x_true, specs)
+        x = _mean_free(solver(b))
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_true), atol=1e-8)
+
+
+class TestShellSpectral:
+    def test_converges_to_truth(self):
+        g = make_shell(8, 16, 32, 1.0, 3.0)
+        specs = [NEU, BCSpec(BC.POLE, BC.POLE), None]
+        solver = ShellPoissonSpectral(g, dtype=jnp.float64, rtol=1e-11, maxiter=300)
+        rng = np.random.RandomState(4)
+        x_true = _mean_free(jnp.asarray(rng.randn(*g.cell_shape)))
+        b = -st.weak_laplacian(g, x_true, specs)
+        x = _mean_free(solver(b))
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_true), atol=1e-7)
+
+    def test_spectral_operator_matches_weak_laplacian(self):
+        # A_k applied mode-by-mode must equal FFT(-weak_lap) exactly
+        g = make_shell(4, 8, 16, 1.0, 3.0)
+        specs = [NEU, BCSpec(BC.POLE, BC.POLE), None]
+        solver = ShellPoissonSpectral(g, dtype=jnp.float64)
+        rng = np.random.RandomState(5)
+        x = jnp.asarray(rng.randn(*g.cell_shape))
+        lhs = -st.weak_laplacian(g, x, specs)
+        xh = jnp.fft.rfft(x, axis=2)
+        xs = jnp.concatenate([xh.real, xh.imag], axis=2)
+        axs = solver._apply(xs)
+        nm = solver.nm
+        ah = axs[:, :, :nm] + 1j * axs[:, :, nm:]
+        rhs = jnp.fft.irfft(ah, n=g.cell_shape[2], axis=2)
+        # remove the k=0 deflation term: a uniform constant
+        # defl_scale * sum(x) / nlon added to every cell
+        corr = float(solver._defl_scale) * float(jnp.sum(x)) / g.cell_shape[2]
+        diff = np.array(rhs - lhs) - corr
+        np.testing.assert_allclose(diff, 0.0, atol=1e-9)
