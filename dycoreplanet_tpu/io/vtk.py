@@ -72,8 +72,39 @@ def _local_to_cartesian_vectors(geo: Geometry, u: np.ndarray) -> np.ndarray:
     return v.reshape(-1, 3)
 
 
+def _load_native():
+    """ctypes binding of the C++ encoder (native/src/vtkenc.cpp); the
+    native runtime layer mirrors the reference's C++ host code where it
+    actually pays — bulk output serialization. Falls back to Python."""
+    import ctypes
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    lib_path = os.path.join(here, "..", "..", "native", "lib", "libdycore_native.so")
+    if not os.path.exists(lib_path):
+        return None
+    try:
+        lib = ctypes.CDLL(lib_path)
+        lib.vtk_b64_bound.restype = ctypes.c_size_t
+        lib.vtk_b64_bound.argtypes = [ctypes.c_size_t]
+        lib.vtk_encode_block.restype = ctypes.c_size_t
+        lib.vtk_encode_block.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p]
+        return lib
+    except OSError:
+        return None
+
+
+_NATIVE = _load_native()
+
+
 def _b64_block(data: np.ndarray) -> str:
     raw = np.ascontiguousarray(data, dtype=np.float32).tobytes()
+    if _NATIVE is not None:
+        import ctypes
+
+        out = ctypes.create_string_buffer(_NATIVE.vtk_b64_bound(len(raw)))
+        n = _NATIVE.vtk_encode_block(raw, len(raw), out)
+        return out.raw[:n].decode("ascii")
     header = struct.pack("<I", len(raw))
     return base64.b64encode(header + raw).decode("ascii")
 
