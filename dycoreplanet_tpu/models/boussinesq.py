@@ -347,25 +347,26 @@ class BoussinesqModel:
 
         rhs_u = u + dt * forcing
 
-        # ---------------- implicit Helmholtz per component -------------
-        helm_iters = []
-        u_star = []
+        # ---------------- implicit Helmholtz, all components batched ----
+        # one CG over the stacked (dim, *cells) system: the components
+        # are independent blocks (different wall rules only), so a joint
+        # solve is exact and collapses three while_loops into one —
+        # bigger fused stencils, one set of reductions
         coef = dt * self.one_over_Re
 
-        for c in range(dim):
-            specs_c = self.u_specs[c]
+        def helm_op(x):
+            return vol[None] * x - coef * jnp.stack([
+                st.weak_laplacian(geo, x[c], self.u_specs[c])
+                for c in range(dim)
+            ])
 
-            def helm_op(x, specs_c=specs_c):
-                return vol * x - coef * st.weak_laplacian(geo, x, specs_c)
-
-            diag = vol + coef * self.helm_diags[c]
-            res = cg(helm_op, vol * rhs_u[c], x0=rhs_u[c],
-                     rtol=p.numerics.helmholtz_tol,
-                     maxiter=p.numerics.max_cg_iters,
-                     preconditioner=lambda r, d=diag: r / d)
-            u_star.append(res.x)
-            helm_iters.append(res.iterations)
-        u_star = jnp.stack(u_star)
+        helm_diag = vol[None] + coef * jnp.stack(self.helm_diags)
+        helm_res = cg(helm_op, vol[None] * rhs_u, x0=rhs_u,
+                      rtol=p.numerics.helmholtz_tol,
+                      maxiter=p.numerics.max_cg_iters,
+                      preconditioner=lambda r: r / helm_diag)
+        u_star = helm_res.x
+        helm_iters = [helm_res.iterations] * dim
 
         # ---------------- pressure projection --------------------------
         uf_star = [
@@ -461,6 +462,52 @@ class BoussinesqModel:
         return self._jit_step(state, dt)
 
     # ------------------------------------------------------------------
+    def _temperature_step_impl(self, state: State, dt: jnp.ndarray):
+        """Temperature-only substep with the velocity frozen — the
+        iterations between NSE solves when ``NSE solver interval`` > 1
+        (reference: run loop solves the NSE only every interval-th step
+        but the temperature every step, boussinesq_model.tpp:1875-1905)."""
+        geo = self.geo
+        p = self.params
+        vol = self.vol
+        dt = jnp.asarray(dt, self.dtype)
+        dt_T = dt / p.NSE_solver_interval
+        T = state.T
+
+        adv_T = st.advect_scalar(geo, state.u_faces, T, self.T_specs,
+                                 scheme=self.advection_scheme, form="advective")
+        rhs_T = vol * (T - dt_T * adv_T) + dt_T * self.one_over_Pe * self.T_lap_offset
+        kT = dt_T * self.one_over_Pe
+
+        def temp_op(x):
+            return vol * x - kT * st.weak_laplacian(geo, x, self.T_specs_hom)
+
+        diag_T = vol + kT * self.T_diag
+        T_res = cg(temp_op, rhs_T, x0=T,
+                   rtol=p.numerics.temperature_tol,
+                   maxiter=p.numerics.max_cg_iters,
+                   preconditioner=lambda r: r / diag_T)
+        T_new = T_res.x
+        speed = st.cell_max_speed(geo, state.u)
+        diag = StepDiagnostics(
+            cfl=jnp.max(jnp.maximum(speed, 1e-10) / self.diameter),
+            max_velocity=jnp.max(speed),
+            T_min=jnp.min(T_new), T_max=jnp.max(T_new),
+            div_norm=jnp.max(jnp.abs(st.divergence(geo, list(state.u_faces)))),
+            helmholtz_iters=jnp.zeros((geo.dim,), jnp.int32),
+            poisson_iters=jnp.asarray(0, jnp.int32),
+            temperature_iters=T_res.iterations,
+        )
+        new_state = state._replace(T=T_new, time=state.time + dt_T,
+                                   step_number=state.step_number + 1)
+        return new_state, diag
+
+    def temperature_step(self, state: State, dt: float):
+        if not hasattr(self, "_jit_temp_step"):
+            self._jit_temp_step = jax.jit(self._temperature_step_impl)
+        return self._jit_temp_step(state, dt)
+
+    # ------------------------------------------------------------------
     def compute_time_step(self, cfl: float) -> float:
         """The reference's step-32 CFL formula
         (reference: boussinesq_model.tpp:1104-1125)."""
@@ -483,7 +530,13 @@ class BoussinesqModel:
         while time_index <= p.final_time:
             if max_steps is not None and n >= max_steps:
                 break
-            state, diag = self.step(state, dt)
+            # NSE solved at step 0 and every interval-th step; the other
+            # iterations advance temperature only (reference:
+            # boussinesq_model.tpp:1867-1905)
+            if n % p.NSE_solver_interval == 0:
+                state, diag = self.step(state, dt)
+            else:
+                state, diag = self.temperature_step(state, dt)
             rec = {
                 "step": n,
                 "time": time_index,

@@ -156,6 +156,29 @@ class TestRunLoop:
         assert all(np.isfinite(h["max_velocity"]) for h in hist)
 
 
+class TestSubcycling:
+    def test_nse_interval_temperature_substeps(self):
+        # interval=2: NSE solved on even iterations only, temperature
+        # every iteration with dt/2 (reference: tpp:1867-1905)
+        p = _load("aqua_planet_test_2d.prm", n_radial=8, n_lon=48)
+        p.NSE_solver_interval = 2
+        p.final_time = 0.04
+        m = BoussinesqModel(p)
+        state, hist = m.run()
+        # time advances by dt/interval per iteration
+        times = [h["time"] for h in hist]
+        assert times[1] == pytest.approx(0.005)
+        assert all(np.isfinite(h["max_velocity"]) for h in hist)
+        # the temperature-only substep freezes the velocity
+        s0 = m.initial_state()
+        s1, _ = m.step(s0, p.time_step)
+        s2, d2 = m.temperature_step(s1, p.time_step)
+        np.testing.assert_array_equal(np.asarray(s2.u), np.asarray(s1.u))
+        assert float(jnp.max(jnp.abs(s2.T - s1.T))) > 0
+        assert int(s2.step_number) == 2
+        assert float(s2.time) == pytest.approx(float(s1.time) + p.time_step / 2)
+
+
 class TestPersonalitiesDiffer:
     def test_advective_vs_rotational_same_limit(self):
         # both transport forms discretize the same PDE: after one step
