@@ -69,15 +69,70 @@ class State(NamedTuple):
     step_number: jnp.ndarray     # scalar int32
 
 
-class StepDiagnostics(NamedTuple):
-    cfl: jnp.ndarray
-    max_velocity: jnp.ndarray
-    T_min: jnp.ndarray
-    T_max: jnp.ndarray
-    div_norm: jnp.ndarray        # post-projection max |div u|
-    helmholtz_iters: jnp.ndarray  # (dim,)
-    poisson_iters: jnp.ndarray
-    temperature_iters: jnp.ndarray
+class StepDiagnostics:
+    """Per-step diagnostics packed into ONE device vector.
+
+    The jitted step returns [cfl, max|u|, T_min, T_max, max|div u|,
+    poisson_iters, temperature_iters, helmholtz_iters...] as a single
+    float32 array; the host pays a single device->host transfer when
+    (and only when) a field is first read. On tunneled TPU platforms a
+    pull costs seconds of latency regardless of size, so per-field
+    device scalars would serialize the run loop (the reference's
+    analogue of per-step MPI reductions, boussinesq_model.tpp:1050-1058,
+    1467-1471 — there too one reduction per quantity is the cost model)."""
+
+    def __init__(self, packed, dim: int):
+        self.packed = packed
+        self._dim = dim
+        self._host_vals: Optional[np.ndarray] = None
+
+    @staticmethod
+    def pack(cfl, max_velocity, T_min, T_max, div_norm, poisson_iters,
+             temperature_iters, helmholtz_iters) -> jnp.ndarray:
+        head = jnp.stack([
+            jnp.asarray(v, jnp.float32).reshape(())
+            for v in (cfl, max_velocity, T_min, T_max, div_norm,
+                      poisson_iters, temperature_iters)
+        ])
+        helm = jnp.asarray(helmholtz_iters, jnp.float32).reshape(-1)
+        return jnp.concatenate([head, helm])
+
+    def _h(self) -> np.ndarray:
+        if self._host_vals is None:
+            self._host_vals = np.asarray(self.packed)
+        return self._host_vals
+
+    @property
+    def cfl(self) -> float:
+        return float(self._h()[0])
+
+    @property
+    def max_velocity(self) -> float:
+        return float(self._h()[1])
+
+    @property
+    def T_min(self) -> float:
+        return float(self._h()[2])
+
+    @property
+    def T_max(self) -> float:
+        return float(self._h()[3])
+
+    @property
+    def div_norm(self) -> float:
+        return float(self._h()[4])
+
+    @property
+    def poisson_iters(self) -> int:
+        return int(self._h()[5])
+
+    @property
+    def temperature_iters(self) -> int:
+        return int(self._h()[6])
+
+    @property
+    def helmholtz_iters(self) -> np.ndarray:
+        return self._h()[7:].astype(np.int32)
 
 
 class BoussinesqModel:
@@ -149,11 +204,17 @@ class BoussinesqModel:
         self.scalar_specs = self.p_specs
 
     def _setup_static_fields(self) -> None:
+        """All step-closure constants are kept as HOST numpy arrays: a
+        device array captured in a jit closure must be pulled back to
+        the host to embed as an MLIR constant, and on tunneled TPU
+        platforms each pull costs seconds — numpy constants embed for
+        free and XLA stages them to HBM once at compile time."""
         geo = self.geo
         params = self.params
         dt_np = self.dtype
-        self.vol = jnp.asarray(np.broadcast_to(geo.vol, geo.cell_shape), dtype=dt_np)
-        self.diameter = jnp.asarray(geo.cell_diameter(), dtype=dt_np)
+        self.vol = np.ascontiguousarray(
+            np.broadcast_to(geo.vol, geo.cell_shape)).astype(dt_np)
+        self.diameter = np.asarray(geo.cell_diameter(), dtype=dt_np)
 
         # --- gravity acceleration field (dim, *cells): rho-independent part
         # g_vec_hat = (L/u^2) * gravity_vector  (buoyancy multiplies by rho(T))
@@ -167,22 +228,33 @@ class BoussinesqModel:
             gr = np.where(r > 1.0, -g0, -g0 * np.sqrt(r))
             gvec = np.zeros((geo.dim,) + geo.cell_shape)
             gvec[0] = gr
-        self.gravity = jnp.asarray(self.g_hat_scale * gvec, dtype=dt_np)
+        self.gravity = (self.g_hat_scale * gvec).astype(dt_np)
 
         # --- temperature IC + Dirichlet boundary values at the wall
-        centers = self._cell_center_coords()
-        if geo.kind == "cuboid":
-            center = geo.extras["center"]
-            ic = TemperatureInitialValuesCuboid(3, jnp.asarray(center),
-                                                float(geo.extras["diameter"]))
-        else:
-            r0 = float(geo.axes[0].faces[0])
-            r1 = float(geo.axes[0].faces[-1])
-            ic = TemperatureInitialValues(geo.dim, r0, r1)
-        self.T_init = jnp.asarray(ic(centers), dtype=dt_np)
-        # boundary values: IC evaluated on the inner/bottom wall surface
-        wall_pts = self._wall_coords(self.T_wall_axis, self.T_wall_end)
-        T_wall = jnp.asarray(ic(wall_pts), dtype=dt_np)
+        # (computed eagerly on the host CPU backend: these feed closure
+        # constants, and a round trip through the accelerator would cost
+        # a multi-second pull per array on tunneled platforms)
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu = None
+        import contextlib
+        host_ctx = (jax.default_device(cpu) if cpu is not None
+                    else contextlib.nullcontext())
+        with host_ctx:
+            centers = self._cell_center_coords()
+            if geo.kind == "cuboid":
+                center = geo.extras["center"]
+                ic = TemperatureInitialValuesCuboid(3, jnp.asarray(center),
+                                                    float(geo.extras["diameter"]))
+            else:
+                r0 = float(geo.axes[0].faces[0])
+                r1 = float(geo.axes[0].faces[-1])
+                ic = TemperatureInitialValues(geo.dim, r0, r1)
+            self.T_init = np.asarray(ic(centers), dtype=dt_np)
+            # boundary values: IC evaluated on the inner/bottom wall surface
+            wall_pts = self._wall_coords(self.T_wall_axis, self.T_wall_end)
+            T_wall = np.asarray(ic(wall_pts), dtype=dt_np)
         # T boundary specs: Dirichlet at the wall, Neumann/pole elsewhere
         NEU = BC.NEUMANN
         if geo.kind == "shell":
@@ -199,12 +271,15 @@ class BoussinesqModel:
 
         # affine offset of the inhomogeneous-Dirichlet weak Laplacian:
         # weak_lap_inhom(x) = weak_lap_hom(x) + offset
-        zero = jnp.zeros(geo.cell_shape, dtype=dt_np)
-        self.T_lap_offset = st.weak_laplacian(geo, zero, self.T_specs)
+        with (jax.default_device(cpu) if cpu is not None
+              else contextlib.nullcontext()):
+            zero = jnp.zeros(geo.cell_shape, dtype=dt_np)
+            self.T_lap_offset = np.asarray(
+                st.weak_laplacian(geo, zero, self.T_specs), dtype=dt_np)
 
-        # --- Jacobi preconditioner diagonals
-        self.poisson_diag = jnp.asarray(
-            -weak_laplacian_diagonal(geo, self.p_specs), dtype=dt_np)
+        # --- Jacobi preconditioner diagonals (host numpy)
+        self.poisson_diag = (
+            -weak_laplacian_diagonal(geo, self.p_specs)).astype(dt_np)
         # --- pressure solver strategy (replaces the reference's
         # Schur-complement/ILU/AMG stack, boussinesq_model.tpp:1248-1414):
         #   'auto'/'fft': longitude-spectral — exact FFT+Thomas direct
@@ -222,17 +297,19 @@ class BoussinesqModel:
             if geo.kind == "shell":
                 kw = dict(rtol=params.numerics.poisson_tol,
                           maxiter=params.numerics.max_cg_iters)
-            self.poisson_spectral = make_poisson_solver(geo, dtype=dt_np, **kw)
+            self.poisson_spectral = make_poisson_solver(
+                geo, dtype=dt_np,
+                use_pallas=params.numerics.use_pallas, **kw)
         elif solver_choice == "mg":
             from dycoreplanet_tpu.solvers.multigrid import PoissonMultigrid
 
             self.poisson_precond = PoissonMultigrid(geo, self.p_specs, dtype=dt_np)
-        self.helm_diags = [
-            jnp.asarray(-weak_laplacian_diagonal(geo, self.u_specs[c]), dtype=dt_np)
+        self.helm_diags = np.stack([
+            (-weak_laplacian_diagonal(geo, self.u_specs[c])).astype(dt_np)
             for c in range(geo.dim)
-        ]
-        self.T_diag = jnp.asarray(
-            -weak_laplacian_diagonal(geo, self.T_specs_hom), dtype=dt_np)
+        ])
+        self.T_diag = (
+            -weak_laplacian_diagonal(geo, self.T_specs_hom)).astype(dt_np)
 
     # ------------------------------------------------------------------
     def _cell_center_coords(self) -> jnp.ndarray:
@@ -284,7 +361,8 @@ class BoussinesqModel:
             jnp.zeros(geo.cell_shape, dtype=self.dtype) for _ in range(geo.dim)
         )
         p = jnp.zeros(geo.cell_shape, dtype=self.dtype)
-        return State(u=u, u_faces=u_faces, p=p, T=self.T_init,
+        return State(u=u, u_faces=u_faces, p=p,
+                     T=jnp.asarray(self.T_init, dtype=self.dtype),
                      time=jnp.asarray(0.0, self.dtype),
                      step_number=jnp.asarray(0, jnp.int32))
 
@@ -360,7 +438,7 @@ class BoussinesqModel:
                 for c in range(dim)
             ])
 
-        helm_diag = vol[None] + coef * jnp.stack(self.helm_diags)
+        helm_diag = vol[None] + coef * self.helm_diags
         helm_res = cg(helm_op, vol[None] * rhs_u, x0=rhs_u,
                       rtol=p.numerics.helmholtz_tol,
                       maxiter=p.numerics.max_cg_iters,
@@ -439,27 +517,25 @@ class BoussinesqModel:
         cfl = jnp.max(jnp.maximum(speed, 1e-10) / self.diameter)
         max_vel = jnp.max(speed)
         div_new = st.divergence(geo, new_faces)
-        diag = StepDiagnostics(
-            cfl=cfl,
-            max_velocity=max_vel,
-            T_min=jnp.min(T_new),
-            T_max=jnp.max(T_new),
-            div_norm=jnp.max(jnp.abs(div_new)),
-            helmholtz_iters=jnp.stack(helm_iters),
-            poisson_iters=poisson_iters,
-            temperature_iters=T_res.iterations,
-        )
+        packed = StepDiagnostics.pack(
+            cfl, max_vel, jnp.min(T_new), jnp.max(T_new),
+            jnp.max(jnp.abs(div_new)),
+            poisson_iters, T_res.iterations, jnp.stack(helm_iters))
         new_state = State(
             u=u_new, u_faces=tuple(new_faces), p=p_new, T=T_new,
             time=state.time + dt_T,
             step_number=state.step_number + 1,
         )
-        return new_state, diag
+        return new_state, packed
 
     # ------------------------------------------------------------------
     def step(self, state: State, dt: float):
-        """One jitted time step; returns (new_state, diagnostics)."""
-        return self._jit_step(state, dt)
+        """One jitted time step; returns (new_state, diagnostics).
+
+        Diagnostics stay on device until a field is read (one packed
+        pull) — reading none keeps the step loop fully asynchronous."""
+        new_state, packed = self._jit_step(state, dt)
+        return new_state, StepDiagnostics(packed, self.geo.dim)
 
     # ------------------------------------------------------------------
     def _temperature_step_impl(self, state: State, dt: jnp.ndarray):
@@ -489,23 +565,21 @@ class BoussinesqModel:
                    preconditioner=lambda r: r / diag_T)
         T_new = T_res.x
         speed = st.cell_max_speed(geo, state.u)
-        diag = StepDiagnostics(
-            cfl=jnp.max(jnp.maximum(speed, 1e-10) / self.diameter),
-            max_velocity=jnp.max(speed),
-            T_min=jnp.min(T_new), T_max=jnp.max(T_new),
-            div_norm=jnp.max(jnp.abs(st.divergence(geo, list(state.u_faces)))),
-            helmholtz_iters=jnp.zeros((geo.dim,), jnp.int32),
-            poisson_iters=jnp.asarray(0, jnp.int32),
-            temperature_iters=T_res.iterations,
-        )
+        packed = StepDiagnostics.pack(
+            jnp.max(jnp.maximum(speed, 1e-10) / self.diameter),
+            jnp.max(speed), jnp.min(T_new), jnp.max(T_new),
+            jnp.max(jnp.abs(st.divergence(geo, list(state.u_faces)))),
+            jnp.asarray(0, jnp.int32), T_res.iterations,
+            jnp.zeros((geo.dim,), jnp.int32))
         new_state = state._replace(T=T_new, time=state.time + dt_T,
                                    step_number=state.step_number + 1)
-        return new_state, diag
+        return new_state, packed
 
     def temperature_step(self, state: State, dt: float):
         if not hasattr(self, "_jit_temp_step"):
             self._jit_temp_step = jax.jit(self._temperature_step_impl)
-        return self._jit_temp_step(state, dt)
+        new_state, packed = self._jit_temp_step(state, dt)
+        return new_state, StepDiagnostics(packed, self.geo.dim)
 
     # ------------------------------------------------------------------
     def compute_time_step(self, cfl: float) -> float:

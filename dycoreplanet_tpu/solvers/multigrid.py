@@ -91,8 +91,10 @@ class PoissonMultigrid:
                 break
             shape = nxt
             self.geos.append(_rebuild(geo, shape))
+        # host numpy: jit-closure device constants cost a device->host
+        # pull each at lowering time (seconds on tunneled TPU platforms)
         self.diags = [
-            jnp.asarray(-weak_laplacian_diagonal(g, self.specs), dtype=dtype)
+            (-weak_laplacian_diagonal(g, self.specs)).astype(dtype)
             for g in self.geos
         ]
 

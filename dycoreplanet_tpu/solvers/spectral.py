@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dycoreplanet_tpu.grid.geometry import Geometry
-from dycoreplanet_tpu.solvers.tridiag import thomas_solve
+from dycoreplanet_tpu.ops.pallas_kernels import tridiag_solve
 from dycoreplanet_tpu.solvers.cg import cg
 
 
@@ -66,9 +66,11 @@ def _mu(n: int, rfft: bool) -> np.ndarray:
 class CuboidPoissonDirect:
     """Exact solve via rfft2 over (y, x) + batched Thomas in z."""
 
-    def __init__(self, geo: Geometry, dtype=jnp.float32):
+    def __init__(self, geo: Geometry, dtype=jnp.float32,
+                 use_pallas: Optional[bool] = None):
         assert geo.kind == "cuboid"
         self.geo = geo
+        self.use_pallas = use_pallas
         nz, ny, nx = geo.cell_shape
         az = _conductance(geo, 0)[:, 0, 0]          # (nz+1,)
         cy = float(_conductance(geo, 1)[0, 0, 0])
@@ -82,16 +84,21 @@ class CuboidPoissonDirect:
         diag[0, 0, 0] += az[1] if nz > 1 else 1.0
         lower = np.broadcast_to(-az[:-1, None, None], diag.shape).copy()
         upper = np.broadcast_to(-az[1:, None, None], diag.shape).copy()
-        f = jnp.asarray
-        self._lower, self._diag, self._upper = f(lower, dtype=dtype), f(diag, dtype=dtype), f(upper, dtype=dtype)
+        # constants stay host-side numpy: closure device arrays would
+        # need a device->host pull at jit-lowering time (seconds on
+        # tunneled TPU platforms); numpy embeds free
+        f = lambda a: np.asarray(a, dtype=dtype)
+        self._lower, self._diag, self._upper = f(lower), f(diag), f(upper)
 
     def __call__(self, b: jnp.ndarray) -> jnp.ndarray:
         return self.solve(b)[0]
 
     def solve(self, b: jnp.ndarray):
         bh = jnp.fft.rfft2(b, axes=(1, 2))
-        xr = thomas_solve(self._lower, self._diag, self._upper, bh.real)
-        xi = thomas_solve(self._lower, self._diag, self._upper, bh.imag)
+        xr = tridiag_solve(self._lower, self._diag, self._upper, bh.real,
+                           use_pallas=self.use_pallas)
+        xi = tridiag_solve(self._lower, self._diag, self._upper, bh.imag,
+                           use_pallas=self.use_pallas)
         xh = xr + 1j * xi
         x = jnp.fft.irfft2(xh, s=b.shape[1:], axes=(1, 2))
         return x.astype(b.dtype), jnp.asarray(0, jnp.int32)
@@ -100,9 +107,11 @@ class CuboidPoissonDirect:
 class AnnulusPoissonDirect:
     """Exact solve via rfft over phi + batched Thomas in r."""
 
-    def __init__(self, geo: Geometry, dtype=jnp.float32):
+    def __init__(self, geo: Geometry, dtype=jnp.float32,
+                 use_pallas: Optional[bool] = None):
         assert geo.kind == "annulus"
         self.geo = geo
+        self.use_pallas = use_pallas
         nr, nphi = geo.cell_shape
         ar = _conductance(geo, 0)[:, 0]              # (nr+1,)
         cphi = _conductance(geo, 1)[:, 0]            # (nr,) = dr/(r dphi)
@@ -112,16 +121,21 @@ class AnnulusPoissonDirect:
         diag[0, 0] += ar[1] if nr > 1 else 1.0       # pin k=0 mode
         lower = np.broadcast_to(-ar[:-1, None], diag.shape).copy()
         upper = np.broadcast_to(-ar[1:, None], diag.shape).copy()
-        f = jnp.asarray
-        self._lower, self._diag, self._upper = f(lower, dtype=dtype), f(diag, dtype=dtype), f(upper, dtype=dtype)
+        # constants stay host-side numpy: closure device arrays would
+        # need a device->host pull at jit-lowering time (seconds on
+        # tunneled TPU platforms); numpy embeds free
+        f = lambda a: np.asarray(a, dtype=dtype)
+        self._lower, self._diag, self._upper = f(lower), f(diag), f(upper)
 
     def __call__(self, b: jnp.ndarray) -> jnp.ndarray:
         return self.solve(b)[0]
 
     def solve(self, b: jnp.ndarray):
         bh = jnp.fft.rfft(b, axis=1)
-        xr = thomas_solve(self._lower, self._diag, self._upper, bh.real)
-        xi = thomas_solve(self._lower, self._diag, self._upper, bh.imag)
+        xr = tridiag_solve(self._lower, self._diag, self._upper, bh.real,
+                           use_pallas=self.use_pallas)
+        xi = tridiag_solve(self._lower, self._diag, self._upper, bh.imag,
+                           use_pallas=self.use_pallas)
         x = jnp.fft.irfft(xr + 1j * xi, n=b.shape[1], axis=1)
         return x.astype(b.dtype), jnp.asarray(0, jnp.int32)
 
@@ -140,11 +154,13 @@ class ShellPoissonSpectral:
     """
 
     def __init__(self, geo: Geometry, dtype=jnp.float32,
-                 rtol: float = 1e-7, maxiter: int = 120):
+                 rtol: float = 1e-7, maxiter: int = 120,
+                 use_pallas: Optional[bool] = None):
         assert geo.kind == "shell"
         self.geo = geo
         self.rtol = rtol
         self.maxiter = maxiter
+        self.use_pallas = use_pallas
         nr, nlat, nlon = geo.cell_shape
         self.nm = nlon // 2 + 1
         a = _conductance(geo, 0)[:, :, 0]            # (nr+1, nlat)
@@ -153,7 +169,7 @@ class ShellPoissonSpectral:
         mu = _mu(nlon, rfft=True)                    # (nm,)
         mu2 = np.concatenate([mu, mu])               # re + im stacking
 
-        f = lambda x: jnp.asarray(x, dtype=dtype)
+        f = lambda x: np.asarray(x, dtype=dtype)   # host constants
         self._a_lo = f(a[:-1, :, None])              # (nr, nlat, 1)
         self._a_hi = f(a[1:, :, None])
         self._b_lo = f(bb[:, :-1, None])
@@ -174,8 +190,8 @@ class ShellPoissonSpectral:
         n2d = nr * nlat
         self._defl_scale = self._sigma / n2d
         # radial line preconditioner factors (tridiag in r per (lat,mode))
-        self._p_lower = jnp.broadcast_to(-self._a_lo, diag.shape)
-        self._p_upper = jnp.broadcast_to(-self._a_hi, diag.shape)
+        self._p_lower = np.ascontiguousarray(np.broadcast_to(-self._a_lo, diag.shape))
+        self._p_upper = np.ascontiguousarray(np.broadcast_to(-self._a_hi, diag.shape))
 
     def _apply(self, x: jnp.ndarray) -> jnp.ndarray:
         """A x in spectral space; x: (nr, nlat, 2nm)."""
@@ -196,7 +212,8 @@ class ShellPoissonSpectral:
         return ax
 
     def _line_precond(self, r: jnp.ndarray) -> jnp.ndarray:
-        return thomas_solve(self._p_lower, self._diag, self._p_upper, r)
+        return tridiag_solve(self._p_lower, self._diag, self._p_upper, r,
+                             use_pallas=self.use_pallas)
 
     def __call__(self, b: jnp.ndarray) -> jnp.ndarray:
         return self.solve(b)[0]
@@ -214,9 +231,10 @@ class ShellPoissonSpectral:
         return x.astype(b.dtype), res.iterations
 
 
-def make_poisson_solver(geo: Geometry, dtype=jnp.float32, **kw):
+def make_poisson_solver(geo: Geometry, dtype=jnp.float32,
+                        use_pallas: Optional[bool] = None, **kw):
     if geo.kind == "cuboid":
-        return CuboidPoissonDirect(geo, dtype=dtype)
+        return CuboidPoissonDirect(geo, dtype=dtype, use_pallas=use_pallas)
     if geo.kind == "annulus":
-        return AnnulusPoissonDirect(geo, dtype=dtype)
-    return ShellPoissonSpectral(geo, dtype=dtype, **kw)
+        return AnnulusPoissonDirect(geo, dtype=dtype, use_pallas=use_pallas)
+    return ShellPoissonSpectral(geo, dtype=dtype, use_pallas=use_pallas, **kw)

@@ -71,7 +71,9 @@ def test_single_vs_eight_devices(kind):
         m._step_impl, in_shardings=(sh, NamedSharding(mesh, P())),
     )
     for _ in range(3):
-        s8, d8 = step8(s8, dt)
+        s8, d8_packed = step8(s8, dt)
+    from dycoreplanet_tpu.models.boussinesq import StepDiagnostics
+    d8 = StepDiagnostics(d8_packed, m.geo.dim)
 
     np.testing.assert_allclose(np.asarray(s8.u), np.asarray(s1.u),
                                rtol=1e-9, atol=1e-11)
