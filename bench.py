@@ -24,6 +24,10 @@ import numpy as np
 def main() -> None:
     import jax
 
+    sys.path.insert(0, ".")
+    from dycoreplanet_tpu.base.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
     dev = jax.devices()[0]
     on_tpu = dev.platform not in ("cpu",)
 

@@ -99,6 +99,19 @@ class Numerics:
     dtype: str = "float32"            # compute dtype: float32|float64|bfloat16
     use_pallas: Optional[bool] = None  # None = auto (TPU only)
     poisson_solver: str = "auto"       # auto|fft|cg|mg
+    # momentum solve strategy: "projection" (TPU-native incremental
+    # pressure projection, the default) or "coupled" (monolithic
+    # velocity-pressure saddle-point solve like the reference's; then
+    # `use schur complement solver` picks FGMRES-block vs Schur path,
+    # reference: boussinesq_model.tpp:1131-1414)
+    momentum_solver: str = "projection"
+    # buoyancy formulation: "perturbation" applies (rho(T)-1) g with the
+    # constant-density hydrostatic part absorbed analytically into a
+    # background pressure (well-balanced: no discrete spurious currents
+    # from the large gradient force); "full" applies rho(T) g like the
+    # reference's RHS (boussinesq_model.tpp:643-650) and leaves the
+    # hydrostatic balance to the discrete pressure
+    buoyancy: str = "perturbation"
     helmholtz_tol: float = 1e-8        # momentum solve rel tol (reference: tpp:1166 1e-8*rhs)
     temperature_tol: float = 1e-12     # temperature CG rel tol (reference: tpp:1431 1e-12*rhs)
     poisson_tol: float = 1e-8
@@ -212,6 +225,10 @@ class Parameters:
         d(_NUM, "poisson tol", "1e-8", "double", "Pressure Poisson relative tolerance.")
         d(_NUM, "max cg iters", "500", "integer", "CG iteration cap.")
         d(_NUM, "projection", "incremental", "string", "incremental|pressure-free.")
+        d(_NUM, "momentum solver", "projection", "string",
+          "projection|coupled (coupled = monolithic saddle-point solve).")
+        d(_NUM, "buoyancy", "perturbation", "string",
+          "perturbation|full (hydrostatic background split on/off).")
         d(_NUM, "n radial", "0", "integer", "Radial points override (0=derive).")
         d(_NUM, "n lat", "0", "integer", "Latitude points override.")
         d(_NUM, "n lon", "0", "integer", "Longitude points override.")
@@ -282,6 +299,8 @@ class Parameters:
             poisson_tol=prm.get_double(_NUM, "poisson tol"),
             max_cg_iters=prm.get_integer(_NUM, "max cg iters"),
             projection=prm.get(_NUM, "projection"),
+            momentum_solver=prm.get(_NUM, "momentum solver"),
+            buoyancy=prm.get(_NUM, "buoyancy"),
             n_radial=prm.get_integer(_NUM, "n radial"),
             n_lat=prm.get_integer(_NUM, "n lat"),
             n_lon=prm.get_integer(_NUM, "n lon"),

@@ -56,6 +56,9 @@ def print_parameter_info(params, model) -> None:
 
 
 def main(argv=None) -> int:
+    from dycoreplanet_tpu.base.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(
         prog="dycoreplanet_tpu",
         description="TPU-native rotating Boussinesq dynamical core",
@@ -123,13 +126,29 @@ def _run(params, args) -> int:
         if args.no_output:
             return
         with timers.scope("output: vtk"):
+            import jax.numpy as jnp
+
+            # single fused device->host transfer: per-field pulls cost
+            # seconds of flat latency each on tunneled TPU platforms
+            dim = model.geo.dim
+            cells = model.geo.cell_shape
+            ncell = int(np.prod(cells))
+            flat = np.asarray(jnp.concatenate([
+                jnp.ravel(state.u), jnp.ravel(state.p), jnp.ravel(state.T)]))
+            u = flat[:dim * ncell].reshape((dim,) + cells)
+            p = flat[dim * ncell:(dim + 1) * ncell].reshape(cells)
+            T = flat[(dim + 1) * ncell:].reshape(cells)
+            # under the hydrostatic split the dynamic pressure excludes
+            # the background; write the reference-comparable total too
+            scalars = {"pressure": p, "temperature": T}
+            if params.numerics.buoyancy == "perturbation":
+                scalars["pressure_total"] = p + np.asarray(model.p_hydro)
             fname = f"{params.filename_output}_{step:06d}.vts"
             write_vts(
                 os.path.join(outdir, fname),
                 model.geo,
-                scalars={"pressure": np.asarray(state.p),
-                         "temperature": np.asarray(state.T)},
-                vectors={"velocity": np.asarray(state.u)},
+                scalars=scalars,
+                vectors={"velocity": u},
             )
             pvd_entries.append({"time": time_index, "file": fname})
             write_pvd(os.path.join(outdir, f"{params.filename_output}.pvd"), pvd_entries)

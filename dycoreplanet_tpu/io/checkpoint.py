@@ -27,15 +27,33 @@ def save_checkpoint(path: str, state: State, metadata: Optional[dict] = None) ->
     if not path.endswith(".npz"):
         path = path + ".npz"
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    # one fused device->host transfer (per-leaf pulls cost seconds of
+    # flat latency each on tunneled TPU platforms)
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    # widest float dtype among the leaves (f64 only when x64 is on);
+    # int leaves (step_number) round-trip exactly below 2^mantissa
+    wide = np.result_type(*([l.dtype for l in leaves
+                             if np.issubdtype(l.dtype, np.floating)]
+                            or [np.float32]))
+    flat = np.asarray(jax.numpy.concatenate(
+        [jax.numpy.ravel(l).astype(wide) for l in leaves]))
+    host_leaves = []
+    off = 0
+    for l in leaves:
+        n = int(np.prod(l.shape)) if l.shape else 1
+        host_leaves.append(
+            flat[off:off + n].reshape(l.shape).astype(l.dtype))
+        off += n
+    host_state = jax.tree_util.tree_unflatten(treedef, host_leaves)
     arrays = {
-        "u": np.asarray(state.u),
-        "p": np.asarray(state.p),
-        "T": np.asarray(state.T),
-        "time": np.asarray(state.time),
-        "step_number": np.asarray(state.step_number),
+        "u": host_state.u,
+        "p": host_state.p,
+        "T": host_state.T,
+        "time": host_state.time,
+        "step_number": host_state.step_number,
     }
-    for d, uf in enumerate(state.u_faces):
-        arrays[f"u_face_{d}"] = np.asarray(uf)
+    for d, uf in enumerate(host_state.u_faces):
+        arrays[f"u_face_{d}"] = uf
     np.savez(path, **arrays)
     meta = dict(metadata or {})
     meta["n_face_arrays"] = len(state.u_faces)

@@ -58,6 +58,8 @@ from dycoreplanet_tpu.physics.initial_data import (
     TemperatureInitialValuesCuboid,
 )
 from dycoreplanet_tpu.solvers.cg import cg
+from dycoreplanet_tpu.solvers.gmres import gmres
+from dycoreplanet_tpu import linear_algebra as la
 
 
 class State(NamedTuple):
@@ -230,6 +232,25 @@ class BoussinesqModel:
             gvec[0] = gr
         self.gravity = (self.g_hat_scale * gvec).astype(dt_np)
 
+        # hydrostatic background pressure of the constant-density part:
+        # grad p_h = g_vec_hat (exact continuum identity). Used only for
+        # output/diagnostics under the default well-balanced
+        # ``buoyancy = perturbation`` split — the dynamics never touch
+        # it, so a cumulative face-midpoint integral along the gravity
+        # axis is sufficient (axis 0 in all three geometries).
+        ax0 = geo.axes[0]
+        # gravity's axis-0 component depends on the axis-0 coordinate only
+        g_line = np.broadcast_to(gvec[0], geo.cell_shape).reshape(
+            geo.cell_shape[0], -1)[:, 0]
+        dr = np.diff(ax0.centers)
+        p_line = np.concatenate(
+            [[0.0], np.cumsum(0.5 * (g_line[:-1] + g_line[1:]) * dr)])
+        p_line = self.g_hat_scale * p_line
+        shape1 = (geo.cell_shape[0],) + (1,) * (geo.dim - 1)
+        p_h = np.ascontiguousarray(np.broadcast_to(
+            p_line.reshape(shape1), geo.cell_shape)).astype(dt_np)
+        self.p_hydro = p_h - (p_h * self.vol).sum() / self.vol.sum()
+
         # --- temperature IC + Dirichlet boundary values at the wall
         # (computed eagerly on the host CPU backend: these feed closure
         # constants, and a round trip through the accelerator would cost
@@ -391,9 +412,16 @@ class BoussinesqModel:
         dt_T = dt / p.NSE_solver_interval
 
         # ---------------- explicit forcing from step n ----------------
-        # buoyancy: rho(T) * g_hat  (reference: tpp:643-650, 594-597)
+        # buoyancy: rho(T) * g_hat  (reference: tpp:643-650, 594-597).
+        # Default split: the rho=1 hydrostatic part is an exact gradient
+        # absorbed into self.p_hydro analytically — applying it
+        # discretely would only feed O(h^2 g) spurious currents that can
+        # drown the physical buoyancy signal (well-balancedness).
         rho = nondim.density_scaling(self.beta, T, self.T_ref)
-        buoy = rho[None] * self.gravity
+        if p.numerics.buoyancy == "perturbation":
+            buoy = (rho - 1.0)[None] * self.gravity
+        else:
+            buoy = rho[None] * self.gravity
 
         # advection of momentum
         if self.advection_form == "advective":
@@ -424,6 +452,63 @@ class BoussinesqModel:
             forcing = forcing - gradp
 
         rhs_u = u + dt * forcing
+
+        if p.numerics.momentum_solver == "coupled":
+            # monolithic saddle-point solve (reference parity path)
+            u_new, p_new, new_faces, outer_iters = \
+                self._solve_momentum_coupled(u + dt * (forcing if
+                    p.numerics.projection != "incremental" else
+                    forcing + jnp.stack([
+                        st.centered_gradient(geo, pres, d, self.p_specs[d])
+                        for d in range(dim)])), dt)
+            helm_iters = [outer_iters] * dim
+            poisson_iters = outer_iters
+        else:
+            u_new, p_new, new_faces, helm_iters, poisson_iters = \
+                self._solve_momentum_projection(rhs_u, pres, dt)
+
+        # ---------------- temperature (implicit diffusion) -------------
+        # advect with the OLD velocity (reference: assemble_temperature_rhs
+        # runs before solve_NSE, boussinesq_model.tpp:1883-1905)
+        adv_T = st.advect_scalar(geo, u_faces, T, self.T_specs,
+                                 scheme=self.advection_scheme, form="advective")
+        rhs_T = vol * (T - dt_T * adv_T) + dt_T * self.one_over_Pe * self.T_lap_offset
+
+        kT = dt_T * self.one_over_Pe
+
+        def temp_op(x):
+            return vol * x - kT * st.weak_laplacian(geo, x, self.T_specs_hom)
+
+        diag_T = vol + kT * self.T_diag
+        T_res = cg(temp_op, rhs_T, x0=T,
+                   rtol=p.numerics.temperature_tol,
+                   maxiter=p.numerics.max_cg_iters,
+                   preconditioner=lambda r: r / diag_T)
+        T_new = T_res.x
+
+        # ---------------- diagnostics ----------------------------------
+        speed = st.cell_max_speed(geo, u_new)
+        cfl = jnp.max(jnp.maximum(speed, 1e-10) / self.diameter)
+        max_vel = jnp.max(speed)
+        div_new = st.divergence(geo, new_faces)
+        packed = StepDiagnostics.pack(
+            cfl, max_vel, jnp.min(T_new), jnp.max(T_new),
+            jnp.max(jnp.abs(div_new)),
+            poisson_iters, T_res.iterations, jnp.stack(helm_iters))
+        new_state = State(
+            u=u_new, u_faces=tuple(new_faces), p=p_new, T=T_new,
+            time=state.time + dt_T,
+            step_number=state.step_number + 1,
+        )
+        return new_state, packed
+
+    # ------------------------------------------------------------------
+    def _solve_momentum_projection(self, rhs_u, pres, dt):
+        """Incremental pressure projection (the TPU-native default)."""
+        geo = self.geo
+        p = self.params
+        dim = geo.dim
+        vol = self.vol
 
         # ---------------- implicit Helmholtz, all components batched ----
         # one CG over the stacked (dim, *cells) system: the components
@@ -493,40 +578,146 @@ class BoussinesqModel:
         if p.correct_pressure_to_zero_mean:
             p_new = p_new - st.volume_mean(geo, p_new)
 
-        # ---------------- temperature (implicit diffusion) -------------
-        # advect with the OLD velocity (reference: assemble_temperature_rhs
-        # runs before solve_NSE, boussinesq_model.tpp:1883-1905)
-        adv_T = st.advect_scalar(geo, u_faces, T, self.T_specs,
-                                 scheme=self.advection_scheme, form="advective")
-        rhs_T = vol * (T - dt_T * adv_T) + dt_T * self.one_over_Pe * self.T_lap_offset
+        return u_new, p_new, new_faces, helm_iters, poisson_iters
 
-        kT = dt_T * self.one_over_Pe
+    # ------------------------------------------------------------------
+    def _solve_momentum_coupled(self, rhs_u, dt):
+        """Monolithic velocity-pressure saddle-point solve — the
+        reference-parity momentum path (reference: the coupled 2x2 block
+        system of solve_NSE_block_preconditioned / _Schur_complement,
+        boussinesq_model.tpp:1131-1414), built from the matrix-free
+        linear_algebra compositions.
 
-        def temp_op(x):
-            return vol * x - kT * st.weak_laplacian(geo, x, self.T_specs_hom)
+        System (u cell-centered, p cell-centered, Rhie-Chow stabilized):
+            A u + G p            = V rhs_u      A = V + dt/Re (-L)
+            D u - stab(p)        = 0            G = dt V grad_c
+        where D u = V div(face-avg u) and stab = dt (L_compact - L_wide)
+        is the Rhie-Chow pressure-velocity coupling that removes the
+        collocated checkerboard mode — the job inf-sup stability does
+        for the reference's Taylor-Hood pair (boussinesq_model.tpp:21-28).
 
-        diag_T = vol + kT * self.T_diag
-        T_res = cg(temp_op, rhs_T, x0=T,
-                   rtol=p.numerics.temperature_tol,
-                   maxiter=p.numerics.max_cg_iters,
-                   preconditioner=lambda r: r / diag_T)
-        T_new = T_res.x
+        ``use schur complement solver`` picks the path, like the
+        reference's flag (tpp:1886-1903):
+          False -> FGMRES on the full block system, right-preconditioned
+                   by the block-triangular (Poisson, Jacobi) sweep
+                   (reference: BlockSchurPreconditioner,
+                   block_schur_preconditioner.hpp:41-70)
+          True  -> pressure Schur complement S = D A^{-1} G + stab solved
+                   by GMRES with inner fully-converged CG for A^{-1}
+                   (reference: tpp:1248-1414 with InverseMatrix)
+        """
+        geo = self.geo
+        p = self.params
+        dim = geo.dim
+        vol = self.vol
+        coef = dt * self.one_over_Re
 
-        # ---------------- diagnostics ----------------------------------
-        speed = st.cell_max_speed(geo, u_new)
-        cfl = jnp.max(jnp.maximum(speed, 1e-10) / self.diameter)
-        max_vel = jnp.max(speed)
-        div_new = st.divergence(geo, new_faces)
-        packed = StepDiagnostics.pack(
-            cfl, max_vel, jnp.min(T_new), jnp.max(T_new),
-            jnp.max(jnp.abs(div_new)),
-            poisson_iters, T_res.iterations, jnp.stack(helm_iters))
-        new_state = State(
-            u=u_new, u_faces=tuple(new_faces), p=p_new, T=T_new,
-            time=state.time + dt_T,
-            step_number=state.step_number + 1,
-        )
-        return new_state, packed
+        def A_op(u):
+            return vol[None] * u - coef * jnp.stack([
+                st.weak_laplacian(geo, u[c], self.u_specs[c])
+                for c in range(dim)
+            ])
+
+        helm_diag = vol[None] + coef * self.helm_diags
+
+        def G_op(pp):
+            return dt * vol[None] * jnp.stack([
+                st.centered_gradient(geo, pp, d, self.p_specs[d])
+                for d in range(dim)
+            ])
+
+        def faces_of(u):
+            return [
+                self._apply_wall_face_values(
+                    self._interp_component_to_faces(u[c], c), c)
+                for c in range(dim)
+            ]
+
+        def D_op(u):
+            return vol * st.divergence(geo, faces_of(u))
+
+        def wide_lap(pp):
+            g = jnp.stack([
+                st.centered_gradient(geo, pp, d, self.p_specs[d])
+                for d in range(dim)
+            ])
+            return vol * st.divergence(geo, faces_of(g))
+
+        def stab(pp):
+            return dt * (st.weak_laplacian(geo, pp, self.p_specs)
+                         - wide_lap(pp))
+
+        def poisson_inv(rp):
+            rp0 = rp - jnp.mean(rp)
+            if self.poisson_spectral is not None:
+                phi, _ = self.poisson_spectral.solve(rp0)
+            else:
+                precond = (self.poisson_precond
+                           if self.poisson_precond is not None
+                           else (lambda r: r / self.poisson_diag))
+                phi = cg(lambda x: -st.weak_laplacian(geo, x, self.p_specs),
+                         rp0, rtol=p.numerics.poisson_tol,
+                         maxiter=p.numerics.max_cg_iters,
+                         preconditioner=precond).x
+            return phi - st.volume_mean(geo, phi)
+
+        f = vol[None] * rhs_u
+
+        if p.use_schur_complement_solver:
+            # --- Schur path (reference: tpp:1248-1414) ---------------
+            A_inv = la.inverse_operator(
+                A_op, preconditioner=lambda r: r / helm_diag,
+                rtol=1e-6, maxiter=p.numerics.max_cg_iters)
+            DAinvG = la.schur_complement(D_op, A_inv, G_op)
+
+            def S_op(pp):
+                return DAinvG(pp) + stab(pp)
+
+            schur_rhs = D_op(A_inv(f))
+            res_p = gmres(S_op, schur_rhs,
+                          rtol=1e-6, restart=30,
+                          maxiter=p.numerics.max_cg_iters,
+                          preconditioner=lambda r: -poisson_inv(r) / dt)
+            p_sol = res_p.x
+            u_sol = A_inv(f - G_op(p_sol))
+            outer_iters = res_p.iterations
+        else:
+            # --- block-preconditioned FGMRES path (tpp:1131-1245) ----
+            def K_op(xx):
+                u, pp = xx[:dim], xx[dim]
+                return jnp.concatenate(
+                    [A_op(u) + G_op(pp), (D_op(u) - stab(pp))[None]], 0)
+
+            def M_inv(rr):
+                ru, rp = rr[:dim], rr[dim]
+                phat = -poisson_inv(rp) / dt
+                uhat = (ru - G_op(phat)) / helm_diag
+                return jnp.concatenate([uhat, phat[None]], 0)
+
+            b = jnp.concatenate([f, jnp.zeros_like(f[:1])], 0)
+            res = gmres(K_op, b, rtol=p.numerics.helmholtz_tol,
+                        restart=30, maxiter=p.numerics.max_cg_iters,
+                        preconditioner=M_inv)
+            u_sol, p_sol = res.x[:dim], res.x[dim]
+            outer_iters = res.iterations
+
+        p_new = p_sol
+        if p.correct_pressure_to_zero_mean:
+            p_new = p_new - st.volume_mean(geo, p_new)
+        # carry Rhie-Chow faces: discretely div-free to solver tolerance
+        gradp_f = [st.grad_left_faces(geo, p_sol, d, self.p_specs[d])
+                   for d in range(dim)]
+        gradc = jnp.stack([
+            st.centered_gradient(geo, p_sol, d, self.p_specs[d])
+            for d in range(dim)
+        ])
+        gradc_f = faces_of(gradc)
+        new_faces = []
+        uf = faces_of(u_sol)
+        for d in range(dim):
+            rc = uf[d] - dt * (gradp_f[d] - gradc_f[d])
+            new_faces.append(self._apply_wall_face_values(rc, d))
+        return u_sol, p_new, new_faces, outer_iters
 
     # ------------------------------------------------------------------
     def step(self, state: State, dt: float):
