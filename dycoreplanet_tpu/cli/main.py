@@ -85,6 +85,12 @@ def main(argv=None) -> int:
         return 1
 
     try:
+        # dispatch on dim x formulation; FEEC is 3D-only exactly like
+        # the reference (main.cxx:92-125 throws for dim=2 + FEEC)
+        if params.use_FEEC_solver and params.space_dimension == 2:
+            raise ValueError(
+                "FEEC solver untested in 2D. Aborting. "
+                "(reference parity: source/main.cxx:100-104)")
         return _run(params, args)
     except Exception as exc:  # reference main.cxx:128-156 catch-all
         print("----------------------------------------------------", file=sys.stderr)

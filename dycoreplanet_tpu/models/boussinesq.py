@@ -250,6 +250,12 @@ class BoussinesqModel:
         p_h = np.ascontiguousarray(np.broadcast_to(
             p_line.reshape(shape1), geo.cell_shape)).astype(dt_np)
         self.p_hydro = p_h - (p_h * self.vol).sum() / self.vol.sum()
+        # reference-state density rho0 = rho(volume-mean initial T): the
+        # CONSTANT part of 1 - beta (T - T_ref) is a pure-gradient force
+        # absorbed into rho0 * p_hydro. With the reference's dimensional
+        # T_ref (e.g. 273.15 K in aqua_planet.prm) the offset reaches
+        # O(1) and would otherwise drive a uniform spurious inflow.
+        self.rho_background = 1.0  # set after T_init below
 
         # --- temperature IC + Dirichlet boundary values at the wall
         # (computed eagerly on the host CPU backend: these feed closure
@@ -276,6 +282,10 @@ class BoussinesqModel:
             # boundary values: IC evaluated on the inner/bottom wall surface
             wall_pts = self._wall_coords(self.T_wall_axis, self.T_wall_end)
             T_wall = np.asarray(ic(wall_pts), dtype=dt_np)
+        T_mean0 = float((self.T_init * self.vol).sum() / self.vol.sum())
+        self.rho_background = float(
+            1.0 - self.beta * (T_mean0 - self.T_ref))
+        self.p_hydro = (self.rho_background * self.p_hydro).astype(dt_np)
         # T boundary specs: Dirichlet at the wall, Neumann/pole elsewhere
         NEU = BC.NEUMANN
         if geo.kind == "shell":
@@ -419,7 +429,7 @@ class BoussinesqModel:
         # drown the physical buoyancy signal (well-balancedness).
         rho = nondim.density_scaling(self.beta, T, self.T_ref)
         if p.numerics.buoyancy == "perturbation":
-            buoy = (rho - 1.0)[None] * self.gravity
+            buoy = (rho - self.rho_background)[None] * self.gravity
         else:
             buoy = rho[None] * self.gravity
 

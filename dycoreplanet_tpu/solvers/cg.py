@@ -61,6 +61,7 @@ def cg(
     """
     if x0 is None:
         x0 = jnp.zeros_like(b)
+    x0 = x0.astype(b.dtype)  # type-stable while_loop carry
     M = preconditioner if preconditioner is not None else (lambda r: r)
 
     eps = float(jnp.finfo(b.dtype).eps)
@@ -68,9 +69,9 @@ def cg(
     b_norm = jnp.sqrt(_dot(b, b))
     stop = jnp.maximum(rtol_eff * b_norm, atol)
 
-    r0 = b - operator(x0)
+    r0 = (b - operator(x0)).astype(b.dtype)
     z0 = M(r0)
-    p0 = z0
+    p0 = z0.astype(b.dtype)
     rz0 = _dot(r0, z0)
     rnorm0 = jnp.sqrt(_dot(r0, r0))
 
@@ -85,12 +86,15 @@ def cg(
         Ap = operator(p)
         pAp = _dot(p, Ap)
         alpha = jnp.where(pAp > 0, rz / pAp, 0.0)
-        x = x + alpha * p
-        r = r - alpha * Ap
+        # scalars accumulate in >= f32; state stays in b.dtype so the
+        # while_loop carry is type-stable under bfloat16
+        sdt = b.dtype
+        x = (x + alpha * p).astype(sdt)
+        r = (r - alpha * Ap).astype(sdt)
         z = M(r)
         rz_new = _dot(r, z)
         beta = jnp.where(rz > 0, rz_new / rz, 0.0)
-        p = z + beta * p
+        p = (z + beta * p).astype(sdt)
         rnorm = jnp.sqrt(_dot(r, r))
         better = rnorm < rbest
         x_best = jnp.where(better, x, x_best)

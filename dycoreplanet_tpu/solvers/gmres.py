@@ -59,6 +59,7 @@ def gmres(
     dtype = b.dtype
     n = b.size
 
+    acc = jnp.promote_types(dtype, jnp.float32)  # small dense algebra
     eps = float(jnp.finfo(dtype).eps)
     rtol_eff = max(rtol, 16.0 * eps)
     b_norm = jnp.sqrt(_dot(b, b))
@@ -75,20 +76,20 @@ def gmres(
 
         V = jnp.zeros((m + 1, n), dtype)
         V = V.at[0].set(flat(r) * inv_beta)
-        H = jnp.zeros((m + 1, m), dtype)      # rotated Hessenberg (-> R)
-        cs = jnp.zeros((m,), dtype)
-        sn = jnp.zeros((m,), dtype)
-        g = jnp.zeros((m + 1,), dtype).at[0].set(beta)
+        H = jnp.zeros((m + 1, m), acc)        # rotated Hessenberg (-> R)
+        cs = jnp.zeros((m,), acc)
+        sn = jnp.zeros((m,), acc)
+        g = jnp.zeros((m + 1,), acc).at[0].set(beta)
 
         def arnoldi(j, carry):
             V, H, cs, sn, g = carry
-            w = flat(operator(M(unflat(V[j]))))
+            w = flat(operator(M(unflat(V[j])))).astype(acc)
             # CGS2: two rounds of (project onto V[0..j], subtract)
-            mask = (jnp.arange(m + 1) <= j).astype(dtype)
-            h1 = (V @ w) * mask
-            w = w - V.T @ h1
-            h2 = (V @ w) * mask
-            w = w - V.T @ h2
+            mask = (jnp.arange(m + 1) <= j).astype(acc)
+            h1 = (V @ w).astype(acc) * mask
+            w = w - (V.T @ h1).astype(acc)
+            h2 = (V @ w).astype(acc) * mask
+            w = w - (V.T @ h2).astype(acc)
             h = h1 + h2
             hj1 = jnp.sqrt(jnp.sum(w * w))
             inv = jnp.where(hj1 > 0, 1.0 / hj1, 0.0)
@@ -97,7 +98,7 @@ def gmres(
             # apply the j previous Givens rotations to the new column
             def rot(i, hcol):
                 hi, hi1 = hcol[i], hcol[i + 1]
-                active = (i < j).astype(dtype)
+                active = (i < j).astype(acc)
                 c, s = cs[i], sn[i]
                 new_i = c * hi + s * hi1
                 new_i1 = -s * hi + c * hi1
@@ -126,11 +127,11 @@ def gmres(
         # back-substitution R y = g[:m]; R = H[:m, :m] upper triangular.
         # Happy-breakdown guard: a zero diagonal entry means the Krylov
         # space was exhausted at that step — pin the row to y_j = 0.
-        alive = (jnp.abs(jnp.diag(H[:m, :m])) > 0).astype(dtype)
-        R = H[:m, :m] + jnp.eye(m, dtype=dtype) * (1.0 - alive)
+        alive = (jnp.abs(jnp.diag(H[:m, :m])) > 0).astype(acc)
+        R = H[:m, :m] + jnp.eye(m, dtype=acc) * (1.0 - alive)
         y = jax.scipy.linalg.solve_triangular(R, g[:m] * alive, lower=False)
-        dx = unflat(V[:m].T @ y)
-        x_new = x + M(dx)
+        dx = unflat((V[:m].T @ y).astype(acc))
+        x_new = (x + M(dx)).astype(dtype)
         r_new = b - operator(x_new)
         return x_new, jnp.sqrt(_dot(r_new, r_new))
 

@@ -94,7 +94,10 @@ class CuboidPoissonDirect:
         return self.solve(b)[0]
 
     def solve(self, b: jnp.ndarray):
-        bh = jnp.fft.rfft2(b, axes=(1, 2))
+        # FFTs require >= f32; under bfloat16 state the pressure solve
+        # runs in f32 and casts back (standard mixed precision)
+        bw = b.astype(jnp.promote_types(b.dtype, jnp.float32))
+        bh = jnp.fft.rfft2(bw, axes=(1, 2))
         xr = tridiag_solve(self._lower, self._diag, self._upper, bh.real,
                            use_pallas=self.use_pallas)
         xi = tridiag_solve(self._lower, self._diag, self._upper, bh.imag,
@@ -131,7 +134,8 @@ class AnnulusPoissonDirect:
         return self.solve(b)[0]
 
     def solve(self, b: jnp.ndarray):
-        bh = jnp.fft.rfft(b, axis=1)
+        bw = b.astype(jnp.promote_types(b.dtype, jnp.float32))
+        bh = jnp.fft.rfft(bw, axis=1)
         xr = tridiag_solve(self._lower, self._diag, self._upper, bh.real,
                            use_pallas=self.use_pallas)
         xi = tridiag_solve(self._lower, self._diag, self._upper, bh.imag,
@@ -220,8 +224,9 @@ class ShellPoissonSpectral:
 
     def solve(self, b: jnp.ndarray):
         nlon = self.geo.cell_shape[2]
-        bh = jnp.fft.rfft(b, axis=2)
-        bs = jnp.concatenate([bh.real, bh.imag], axis=2).astype(b.dtype)
+        acc = jnp.promote_types(b.dtype, jnp.float32)
+        bh = jnp.fft.rfft(b.astype(acc), axis=2)
+        bs = jnp.concatenate([bh.real, bh.imag], axis=2).astype(acc)
         res = cg(self._apply, bs, rtol=self.rtol, maxiter=self.maxiter,
                  preconditioner=self._line_precond)
         xs = res.x

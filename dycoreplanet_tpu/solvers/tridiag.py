@@ -27,7 +27,12 @@ def thomas_solve(
     as two scans. No pivoting — valid for the diagonally-dominant /
     SPD systems produced by the FV operators here.
     """
-    n = diag.shape[0]
+    # recurrences need >= f32 (and type-stable scan carries when the
+    # coefficient arrays arrive in a narrower dtype than the rhs)
+    acc = jnp.promote_types(jnp.promote_types(diag.dtype, rhs.dtype),
+                            jnp.float32)
+    lower, diag, upper, rhs = (a.astype(acc)
+                               for a in (lower, diag, upper, rhs))
 
     # forward sweep: c'_i = u_i / (d_i - l_i c'_{i-1}),
     #                g_i  = (b_i - l_i g_{i-1}) / (d_i - l_i c'_{i-1})
