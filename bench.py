@@ -10,8 +10,17 @@ for an idealized single-sweep time step (the BASELINE.json north star):
   SOL = HBM_BW / bytes_per_point_ideal
 with bytes_per_point_ideal = 96 B (read+write the 8 state arrays plus
 metrics once, f32). Values < 1 quantify how far the iterative pressure
-solve keeps us from a one-sweep step; rounds improve it via multigrid /
-Pallas fusion.
+solve keeps us from a one-sweep step.
+
+Measurement methodology (tunneled-TPU safe):
+  * the flow is SEEDED with a deterministic O(0.1) velocity +
+    temperature anomaly and warmed up, so Krylov iteration counts are
+    representative of a developed simulation, not a quiescent start;
+  * `block_until_ready` does not reliably synchronize on the tunneled
+    platform, so each timing ends with a device->host pull of a scalar
+    reduction of the final state; per-step time is the SLOPE between a
+    short and a long chained run, cancelling the constant pull/dispatch
+    latency.
 """
 
 import json
@@ -19,6 +28,52 @@ import sys
 import time
 
 import numpy as np
+
+
+def _seed_state(model, state, amp=0.1):
+    """Deterministic developed-flow seed: zonal solid-body-like jet
+    (u_lon ~ amp cos(lat): smooth at the poles, CFL uniform in
+    longitude because the velocity shrinks with the pole cell width)
+    with a radial-longitudinal perturbation on top."""
+    import jax.numpy as jnp
+
+    geo = model.geo
+    cs = [np.asarray(a.centers) for a in geo.axes]
+    mesh = np.meshgrid(*cs, indexing="ij")
+    u = np.zeros((geo.dim,) + geo.cell_shape)
+    if geo.kind == "shell":
+        r, lat, lon = mesh
+        r0, r1 = float(cs[0][0]), float(cs[0][-1])
+        s = (r - r0) / max(r1 - r0, 1e-30)
+        u[2] = amp * np.cos(lat) * (1.0 + 0.3 * np.sin(3 * lon)
+                                    * np.sin(np.pi * s))
+        u[1] = 0.05 * amp * np.cos(lat) * np.sin(2 * lon)
+    elif geo.kind == "annulus":
+        r, phi = mesh
+        u[1] = amp * (1.0 + 0.3 * np.sin(3 * phi))
+    else:
+        z, y, x = mesh
+        u[2] = amp * (1.0 + 0.3 * np.sin(3 * y / (abs(y).max() + 1e-30)))
+    u = jnp.asarray(u, dtype=state.u.dtype)
+    faces = tuple(
+        model._apply_wall_face_values(
+            model._interp_component_to_faces(u[c], c), c)
+        for c in range(geo.dim)
+    )
+    return state._replace(u=u, u_faces=faces)
+
+
+def _timed_chain(model, state, dt, n_steps):
+    """Run n_steps chained jitted steps and return (elapsed, final)."""
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    s = state
+    for _ in range(n_steps):
+        s, _ = model._jit_step(s, dt)
+    # force full materialization: scalar reduction pulled to host
+    float(jnp.sum(s.u[0]))
+    return time.perf_counter() - t0, s
 
 
 def main() -> None:
@@ -43,30 +98,31 @@ def main() -> None:
     cells = int(np.prod(model.geo.cell_shape))
     dt = np.float32(0.002)
 
-    state = model.initial_state()
-    # warmup: compile + spin up a nontrivial flow so CG iteration counts
-    # are representative
-    state, diag = model.step(state, dt)
-    jax.block_until_ready(state.u)
-    for _ in range(3):
-        state, diag = model.step(state, dt)
-    jax.block_until_ready(state.u)
+    state = _seed_state(model, model.initial_state())
+    # warmup: compile + let the seeded flow settle into representative
+    # pressure/advection balances
+    _, state = _timed_chain(model, state, dt, 5)
 
-    n_steps = 20 if on_tpu else 3
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, diag = model.step(state, dt)
-    jax.block_until_ready(state.u)
-    elapsed = time.perf_counter() - t0
+    n1, n2 = (5, 45) if on_tpu else (1, 4)
+    t1, s1 = _timed_chain(model, state, dt, n1)
+    t2, s2 = _timed_chain(model, state, dt, n2)
+    per_step = (t2 - t1) / (n2 - n1)
 
-    pps = cells * n_steps / elapsed
+    # representative diagnostics from the long chain's last step
+    _, packed = model._jit_step(s2, dt)
+    from dycoreplanet_tpu.models.boussinesq import StepDiagnostics
+
+    diag = StepDiagnostics(packed, model.geo.dim)
+
+    pps = cells / per_step
     # HBM speed-of-light model (see module docstring)
     hbm_bw = 819e9 if on_tpu else 50e9  # v5e ~819 GB/s
     sol_pps = hbm_bw / 96.0
     print(
         f"bench: {model.geo.kind} {model.geo.cell_shape} on {dev}, "
-        f"{elapsed / n_steps * 1e3:.2f} ms/step, poisson_iters="
-        f"{int(diag.poisson_iters)}, div={float(diag.div_norm):.2e}",
+        f"{per_step * 1e3:.2f} ms/step (slope {n1}->{n2} steps), "
+        f"poisson_iters={int(diag.poisson_iters)}, "
+        f"max|u|={diag.max_velocity:.3f}, div={diag.div_norm:.2e}",
         file=sys.stderr,
     )
     print(

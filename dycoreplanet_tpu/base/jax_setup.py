@@ -21,6 +21,13 @@ def enable_compilation_cache(path: str | None = None) -> str:
     cache_dir = (path or os.environ.get("DYCOREPLANET_XLA_CACHE")
                  or os.environ.get("JAX_COMPILATION_CACHE_DIR")
                  or _DEFAULT_DIR)
+    # key by backend: entries AOT-compiled for one platform (or another
+    # host's CPU feature set, via the tunnel) must not be deserialized
+    # on a different one
+    try:
+        cache_dir = os.path.join(cache_dir, jax.default_backend())
+    except RuntimeError:
+        pass
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # cache every executable: on high-latency platforms even small

@@ -67,6 +67,13 @@ def main(argv=None) -> int:
                         help="deal.II-style .prm parameter file")
     parser.add_argument("--max-steps", type=int, default=None,
                         help="cap the number of time steps (debug)")
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="capture a jax.profiler trace of the run "
+                             "into DIR (view with TensorBoard)")
+    parser.add_argument("--write-mesh", action="store_true",
+                        help="dump the mesh (volumes/diameters/shards) "
+                             "to <output>/mesh.vts before running "
+                             "(reference: write_mesh_vtu)")
     parser.add_argument("--no-output", action="store_true",
                         help="skip VTK output")
     parser.add_argument("--checkpoint-every", type=int, default=0,
@@ -126,6 +133,13 @@ def _run(params, args) -> int:
 
     outdir = params.dirname_output
     os.makedirs(outdir, exist_ok=True)  # Tools::create_data_directory analogue
+    if args.write_mesh:
+        from dycoreplanet_tpu.io.vtk import write_mesh_vts
+        from dycoreplanet_tpu.parallel.mesh import mesh_shape_for
+
+        print("Writing mesh to", os.path.join(outdir, "mesh.vts"))
+        write_mesh_vts(os.path.join(outdir, "mesh.vts"), model.geo,
+                       shard_map_shape=mesh_shape_for(model.geo))
     pvd_entries = []
 
     def output(state, time_index: float, step: int) -> None:
@@ -161,6 +175,11 @@ def _run(params, args) -> int:
 
     output(state, 0.0, 0)
 
+    if args.profile:
+        # jax.profiler device trace (SURVEY.md section 5: the TimerOutput
+        # tables cover host-side phases; this captures on-chip timing)
+        jax.profiler.start_trace(args.profile)
+
     dt = params.time_step
     time_index = 0.0
     n = 0
@@ -180,6 +199,12 @@ def _run(params, args) -> int:
         print(f"   Temperature range: [{float(diag.T_min):.6g}, {float(diag.T_max):.6g}]")
         print(f"   Solver iterations: helmholtz={list(np.asarray(diag.helmholtz_iters))} "
               f"poisson={int(diag.poisson_iters)} temperature={int(diag.temperature_iters)}")
+        if params.solver_diagnostics_print_level >= 2:
+            # inner-solver residual histories analogue (reference:
+            # deallog depth from 'solver diagnostics level', main.cxx:89-90)
+            print(f"   Solver residuals: helmholtz={diag.helmholtz_residual:.3e} "
+                  f"poisson={diag.poisson_residual:.3e} "
+                  f"temperature={diag.temperature_residual:.3e}")
         print(f"   Post-projection max |div u|: {float(diag.div_norm):.3g}")
 
         time_index += dt / params.NSE_solver_interval

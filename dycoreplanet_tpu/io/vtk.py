@@ -191,3 +191,24 @@ def write_pvd(path: str, entries: Sequence[Dict]) -> str:
     with open(path, "w") as f:
         f.write("\n".join(lines))
     return path
+
+
+def write_mesh_vts(path: str, geo: Geometry,
+                   shard_map_shape: Optional[Sequence[int]] = None) -> str:
+    """Mesh debug dump — the reference's PlanetGeometry::write_mesh_vtu
+    (planet_geometry.tpp:124-167), which writes the partitioned grid
+    before any solve. Cell data: volumes, diameters, and the shard
+    ("rank") each cell would belong to for a given domain-decomposition
+    shape (the p4est-partition analogue)."""
+    vol = np.broadcast_to(np.asarray(geo.vol), geo.cell_shape)
+    diam = np.broadcast_to(np.asarray(geo.cell_diameter()), geo.cell_shape)
+    scalars = {"volume": vol, "diameter": diam}
+    if shard_map_shape is not None:
+        rank = np.zeros(geo.cell_shape)
+        for d, parts in enumerate(shard_map_shape):
+            idx = (np.arange(geo.cell_shape[d]) * parts) // geo.cell_shape[d]
+            shape1 = [1] * geo.dim
+            shape1[d] = -1
+            rank = rank * parts + idx.reshape(shape1)
+        scalars["shard"] = rank
+    return write_vts(path, geo, scalars=scalars)

@@ -90,11 +90,15 @@ class StepDiagnostics:
 
     @staticmethod
     def pack(cfl, max_velocity, T_min, T_max, div_norm, poisson_iters,
-             temperature_iters, helmholtz_iters) -> jnp.ndarray:
+             temperature_iters, helmholtz_iters,
+             helmholtz_residual=0.0, poisson_residual=0.0,
+             temperature_residual=0.0) -> jnp.ndarray:
         head = jnp.stack([
             jnp.asarray(v, jnp.float32).reshape(())
             for v in (cfl, max_velocity, T_min, T_max, div_norm,
-                      poisson_iters, temperature_iters)
+                      poisson_iters, temperature_iters,
+                      helmholtz_residual, poisson_residual,
+                      temperature_residual)
         ])
         helm = jnp.asarray(helmholtz_iters, jnp.float32).reshape(-1)
         return jnp.concatenate([head, helm])
@@ -133,8 +137,20 @@ class StepDiagnostics:
         return int(self._h()[6])
 
     @property
+    def helmholtz_residual(self) -> float:
+        return float(self._h()[7])
+
+    @property
+    def poisson_residual(self) -> float:
+        return float(self._h()[8])
+
+    @property
+    def temperature_residual(self) -> float:
+        return float(self._h()[9])
+
+    @property
     def helmholtz_iters(self) -> np.ndarray:
-        return self._h()[7:].astype(np.int32)
+        return self._h()[10:].astype(np.int32)
 
 
 class BoussinesqModel:
@@ -465,7 +481,7 @@ class BoussinesqModel:
 
         if p.numerics.momentum_solver == "coupled":
             # monolithic saddle-point solve (reference parity path)
-            u_new, p_new, new_faces, outer_iters = \
+            u_new, p_new, new_faces, outer_iters, outer_rnorm = \
                 self._solve_momentum_coupled(u + dt * (forcing if
                     p.numerics.projection != "incremental" else
                     forcing + jnp.stack([
@@ -473,8 +489,10 @@ class BoussinesqModel:
                         for d in range(dim)])), dt)
             helm_iters = [outer_iters] * dim
             poisson_iters = outer_iters
+            helm_rnorm = poisson_rnorm = outer_rnorm
         else:
-            u_new, p_new, new_faces, helm_iters, poisson_iters = \
+            (u_new, p_new, new_faces, helm_iters, poisson_iters,
+             helm_rnorm, poisson_rnorm) = \
                 self._solve_momentum_projection(rhs_u, pres, dt)
 
         # ---------------- temperature (implicit diffusion) -------------
@@ -504,7 +522,9 @@ class BoussinesqModel:
         packed = StepDiagnostics.pack(
             cfl, max_vel, jnp.min(T_new), jnp.max(T_new),
             jnp.max(jnp.abs(div_new)),
-            poisson_iters, T_res.iterations, jnp.stack(helm_iters))
+            poisson_iters, T_res.iterations, jnp.stack(helm_iters),
+            helmholtz_residual=helm_rnorm, poisson_residual=poisson_rnorm,
+            temperature_residual=T_res.residual_norm)
         new_state = State(
             u=u_new, u_faces=tuple(new_faces), p=p_new, T=T_new,
             time=state.time + dt_T,
@@ -559,6 +579,7 @@ class BoussinesqModel:
         rhs_phi = rhs_phi - jnp.mean(rhs_phi)
         if self.poisson_spectral is not None:
             phi, poisson_iters = self.poisson_spectral.solve(rhs_phi)
+            poisson_rnorm = jnp.asarray(0.0, jnp.float32)  # direct/spectral
         else:
             precond = (self.poisson_precond if self.poisson_precond is not None
                        else (lambda r: r / self.poisson_diag))
@@ -567,6 +588,7 @@ class BoussinesqModel:
                           maxiter=p.numerics.max_cg_iters,
                           preconditioner=precond)
             phi, poisson_iters = pres_res.x, pres_res.iterations
+            poisson_rnorm = pres_res.residual_norm
         phi = phi - st.volume_mean(geo, phi)
 
         # face correction: exactly divergence-free staggered velocities
@@ -588,7 +610,8 @@ class BoussinesqModel:
         if p.correct_pressure_to_zero_mean:
             p_new = p_new - st.volume_mean(geo, p_new)
 
-        return u_new, p_new, new_faces, helm_iters, poisson_iters
+        return (u_new, p_new, new_faces, helm_iters, poisson_iters,
+                helm_res.residual_norm, poisson_rnorm)
 
     # ------------------------------------------------------------------
     def _solve_momentum_coupled(self, rhs_u, dt):
@@ -691,6 +714,7 @@ class BoussinesqModel:
             p_sol = res_p.x
             u_sol = A_inv(f - G_op(p_sol))
             outer_iters = res_p.iterations
+            outer_rnorm = res_p.residual_norm
         else:
             # --- block-preconditioned FGMRES path (tpp:1131-1245) ----
             def K_op(xx):
@@ -710,6 +734,7 @@ class BoussinesqModel:
                         preconditioner=M_inv)
             u_sol, p_sol = res.x[:dim], res.x[dim]
             outer_iters = res.iterations
+            outer_rnorm = res.residual_norm
 
         p_new = p_sol
         if p.correct_pressure_to_zero_mean:
@@ -727,7 +752,7 @@ class BoussinesqModel:
         for d in range(dim):
             rc = uf[d] - dt * (gradp_f[d] - gradc_f[d])
             new_faces.append(self._apply_wall_face_values(rc, d))
-        return u_sol, p_new, new_faces, outer_iters
+        return u_sol, p_new, new_faces, outer_iters, outer_rnorm
 
     # ------------------------------------------------------------------
     def step(self, state: State, dt: float):
@@ -771,7 +796,8 @@ class BoussinesqModel:
             jnp.max(speed), jnp.min(T_new), jnp.max(T_new),
             jnp.max(jnp.abs(st.divergence(geo, list(state.u_faces)))),
             jnp.asarray(0, jnp.int32), T_res.iterations,
-            jnp.zeros((geo.dim,), jnp.int32))
+            jnp.zeros((geo.dim,), jnp.int32),
+            temperature_residual=T_res.residual_norm)
         new_state = state._replace(T=T_new, time=state.time + dt_T,
                                    step_number=state.step_number + 1)
         return new_state, packed

@@ -54,6 +54,16 @@ def build_mesh(
     return Mesh(np.asarray(devices).reshape(a, b), names)
 
 
+def mesh_shape_for(geo: Geometry, n_devices: Optional[int] = None) -> Tuple[int, ...]:
+    """Shard counts per cell-array axis for the canonical layout
+    (vertical axis unsharded) — e.g. for mesh partition visualization."""
+    n = n_devices if n_devices is not None else len(jax.devices())
+    if geo.kind == "annulus":
+        return (1, n)
+    a, b = _factor2(n)
+    return (1, a, b)
+
+
 def cell_pspec(geo: Geometry, mesh: Mesh) -> P:
     """PartitionSpec for a cell-centered array."""
     if geo.kind == "annulus":

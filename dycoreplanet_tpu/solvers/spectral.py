@@ -236,10 +236,102 @@ class ShellPoissonSpectral:
         return x.astype(b.dtype), res.iterations
 
 
+class ShellPoissonDirect:
+    """EXACT shell solve: rfft(lon) -> generalized lat eigentransform ->
+    batched Thomas(r) -> inverse transforms.
+
+    With uniform radial spacing the shell conductances separate:
+      a_ij = alpha_i cos_j   (radial),
+      b, c independent of the radial index,
+    so per longitude mode k the (r, lat) operator is
+      cos_j * T_r  +  S_k(lat only),   S_k = T_lat + diag(-g_j mu_k).
+    Solving the generalized symmetric eigenproblem S_k V = M V Lambda
+    (M = diag(cos_j), V^T M V = I) decouples latitude exactly: the
+    per-mode transform is ONE (nlat x nlat) matmul pair per k (MXU
+    work), leaving independent radial tridiagonal systems. Replaces the
+    line-preconditioned CG (~O(nlat) iterations on developed flow) by
+    a direct solve — the pressure projection stops being the step's
+    bottleneck. Eigendecompositions are a one-time f64 host setup.
+    """
+
+    def __init__(self, geo: Geometry, dtype=jnp.float32,
+                 use_pallas: Optional[bool] = None):
+        assert geo.kind == "shell"
+        self.geo = geo
+        self.use_pallas = use_pallas
+        nr, nlat, nlon = geo.cell_shape
+        self.nm = nlon // 2 + 1
+        a = _conductance(geo, 0)[:, :, 0].astype(np.float64)
+        b = _conductance(geo, 1)[:, :, 0].astype(np.float64)
+        c = _conductance(geo, 2)[:, :, 0].astype(np.float64)
+        cosl = np.cos(np.asarray(geo.axes[1].centers, np.float64))
+        alpha = a[:, 0] / cosl[0]                  # (nr+1,)
+        bl = b[0]                                   # (nlat+1,) pole-zeroed
+        gl = c[0]                                   # (nlat,)
+        mu = _mu(nlon, rfft=True)                   # (nm,) <= 0
+
+        T = np.zeros((nlat, nlat))
+        for j in range(nlat):
+            T[j, j] = bl[j] + bl[j + 1]
+            if j > 0:
+                T[j, j - 1] = -bl[j]
+            if j < nlat - 1:
+                T[j, j + 1] = -bl[j + 1]
+        Ms = 1.0 / np.sqrt(cosl)
+        lam = np.zeros((self.nm, nlat))
+        V = np.zeros((self.nm, nlat, nlat))
+        for k in range(self.nm):
+            Sh = Ms[:, None] * (T + np.diag(-gl * mu[k])) * Ms[None, :]
+            w, W = np.linalg.eigh(0.5 * (Sh + Sh.T))
+            lam[k] = w
+            V[k] = Ms[:, None] * W                 # V^T M V = I
+        lam = np.maximum(lam, 0.0)
+
+        lower = np.broadcast_to(-alpha[:-1, None, None, None],
+                                (nr, 1, 1, 1)).copy()
+        upper = np.broadcast_to(-alpha[1:, None, None, None],
+                                (nr, 1, 1, 1)).copy()
+        diag = ((alpha[:-1] + alpha[1:])[:, None, None]
+                + np.transpose(lam)[None, :, :])   # (nr, nlat_m, nm)
+        # nullspace pin (k=0 constant mode): ground the first radial cell
+        m0 = int(np.argmin(lam[0]))
+        diag = diag.copy()
+        diag[0, m0, 0] += alpha[1] if nr > 1 else 1.0
+        f = lambda x: np.asarray(x, dtype=dtype)   # host constants
+        self._V = f(V)
+        self._lower, self._upper = f(lower), f(upper)
+        self._diag = f(diag[:, :, None, :])        # (nr, m, 1, nm)
+
+    def __call__(self, b: jnp.ndarray) -> jnp.ndarray:
+        return self.solve(b)[0]
+
+    def solve(self, b: jnp.ndarray):
+        nlon = self.geo.cell_shape[2]
+        acc = jnp.promote_types(b.dtype, jnp.float32)
+        bh = jnp.fft.rfft(b.astype(acc), axis=2)
+        bs = jnp.stack([bh.real, bh.imag], axis=2).astype(acc)  # (nr,j,2,k)
+        yh = jnp.einsum("kjm,ijsk->imsk", self._V, bs)
+        from dycoreplanet_tpu.ops.pallas_kernels import tridiag_solve
+
+        xh = tridiag_solve(self._lower, self._diag, self._upper, yh,
+                           use_pallas=self.use_pallas)
+        xs = jnp.einsum("kjm,imsk->ijsk", self._V, xh)
+        x = jnp.fft.irfft(xs[:, :, 0, :] + 1j * xs[:, :, 1, :],
+                          n=nlon, axis=2)
+        return x.astype(b.dtype), jnp.asarray(0, jnp.int32)
+
+
+def _uniform_radial(geo: Geometry) -> bool:
+    dr = np.diff(np.asarray(geo.axes[0].faces))
+    return bool(np.allclose(dr, dr[0], rtol=1e-12, atol=0.0))
+
+
 def make_poisson_solver(geo: Geometry, dtype=jnp.float32,
                         use_pallas: Optional[bool] = None, **kw):
     if geo.kind == "cuboid":
         return CuboidPoissonDirect(geo, dtype=dtype, use_pallas=use_pallas)
     if geo.kind == "annulus":
         return AnnulusPoissonDirect(geo, dtype=dtype, use_pallas=use_pallas)
+    if _uniform_radial(geo):
+        return ShellPoissonDirect(geo, dtype=dtype, use_pallas=use_pallas)
     return ShellPoissonSpectral(geo, dtype=dtype, use_pallas=use_pallas, **kw)

@@ -1,0 +1,76 @@
+"""Golden-trajectory definitions + generator.
+
+The framework's analogue of the reference's golden-output testing
+(test/test_dummy.mpirun={1,2}.output diffs stdout against stored
+files): for each config of the data/*.prm matrix we record the
+per-step scalar diagnostics (CFL, max|u|, T range, div norm) of a
+short f64 CPU run at fixed small resolution, and test_golden.py
+replays and compares. Regenerate after INTENDED physics changes with:
+
+    python tests/golden_trajectories.py
+"""
+
+import json
+import os
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+GOLDEN_PATH = os.path.join(HERE, "golden", "trajectories.json")
+N_STEPS = 8
+
+CASES = {
+    "annulus_2d": dict(prm="aqua_planet_test_2d.prm",
+                       over=dict(n_radial=8, n_lon=48)),
+    "cube_3d_feec": dict(prm="aqua_planet_cube_test_3d.prm",
+                         over=dict(nx=8, ny=8, nz=8)),
+    "shell_3d_classic": dict(prm="aqua_planet_shell_test_3d-classic.prm",
+                             over=dict(n_radial=4, n_lat=8, n_lon=16)),
+    "shell_3d_feec": dict(prm="aqua_planet_shell_test_3d-feec.prm",
+                          over=dict(n_radial=4, n_lat=8, n_lon=16)),
+    "annulus_2d_coupled": dict(prm="aqua_planet_test_2d.prm",
+                               over=dict(n_radial=8, n_lon=48,
+                                         momentum_solver="coupled")),
+}
+
+
+def run_case(name):
+    from dycoreplanet_tpu.base.params import Parameters
+    from dycoreplanet_tpu.models import BoussinesqModel
+
+    case = CASES[name]
+    path = os.path.join(HERE, "..", "data", case["prm"])
+    p = Parameters.from_file(path)
+    p.numerics.dtype = "float64"
+    p.adapt_time_step = False           # fixed dt for reproducibility
+    for k, v in case["over"].items():
+        setattr(p.numerics, k, v)
+    m = BoussinesqModel(p)
+    s = m.initial_state()
+    rows = []
+    for _ in range(N_STEPS):
+        s, d = m.step(s, p.time_step)
+        rows.append({
+            "cfl": d.cfl, "max_velocity": d.max_velocity,
+            "T_min": d.T_min, "T_max": d.T_max, "div_norm": d.div_norm,
+        })
+    return rows
+
+
+def main():
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    golden = {name: run_case(name) for name in CASES}
+    os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
+    with open(GOLDEN_PATH, "w") as f:
+        json.dump(golden, f, indent=1)
+    print("wrote", GOLDEN_PATH)
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.path.insert(0, os.path.join(HERE, ".."))
+    main()

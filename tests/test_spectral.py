@@ -96,3 +96,44 @@ class TestShellSpectral:
         corr = float(solver._defl_scale) * float(jnp.sum(x)) / g.cell_shape[2]
         diff = np.array(rhs - lhs) - corr
         np.testing.assert_allclose(diff, 0.0, atol=1e-9)
+
+
+class TestShellPoissonDirect:
+    """Exact eigentransform shell solver vs the CG variant and vs the
+    operator residual (spectral.py ShellPoissonDirect)."""
+
+    def test_matches_cg_and_operator(self):
+        import jax.numpy as jnp
+        from dycoreplanet_tpu.grid import factory
+        from dycoreplanet_tpu.ops import stencil as st
+        from dycoreplanet_tpu.ops.bc import BC, BCSpec
+        from dycoreplanet_tpu.solvers.spectral import (
+            ShellPoissonDirect, ShellPoissonSpectral)
+
+        g = factory.make_shell(8, 16, 32, 1.0, 3.0)
+        specs = [BCSpec(BC.NEUMANN, BC.NEUMANN),
+                 BCSpec(BC.POLE, BC.POLE), None]
+        rng = np.random.RandomState(0)
+        b = jnp.asarray(rng.randn(8, 16, 32))
+        b = b - jnp.mean(b)
+        xd, it_d = ShellPoissonDirect(g, dtype=jnp.float64).solve(b)
+        xc, _ = ShellPoissonSpectral(g, dtype=jnp.float64, rtol=1e-12,
+                                     maxiter=2000).solve(b)
+        xd = xd - jnp.mean(xd)
+        xc = xc - jnp.mean(xc)
+        assert int(it_d) == 0  # direct
+        np.testing.assert_allclose(np.asarray(xd), np.asarray(xc),
+                                   rtol=0, atol=1e-10)
+        r = b - (-st.weak_laplacian(g, xd, specs))
+        r = r - jnp.mean(r)
+        assert float(jnp.max(jnp.abs(r))) < 1e-12
+
+    def test_selected_for_uniform_radial_shell(self):
+        import jax.numpy as jnp
+        from dycoreplanet_tpu.grid import factory
+        from dycoreplanet_tpu.solvers.spectral import (
+            ShellPoissonDirect, make_poisson_solver)
+
+        g = factory.make_shell(4, 8, 16, 1.0, 3.0)
+        s = make_poisson_solver(g, dtype=jnp.float64)
+        assert isinstance(s, ShellPoissonDirect)
