@@ -112,6 +112,10 @@ class Numerics:
     # reference's RHS (boussinesq_model.tpp:643-650) and leaves the
     # hydrostatic balance to the discrete pressure
     buoyancy: str = "perturbation"
+    # advection face reconstruction: muscl (2nd-order van Leer TVD,
+    # default — accuracy peer of the reference's Q2 transport),
+    # upwind (1st order), centered (2nd order, unlimited)
+    advection_scheme: str = "muscl"
     helmholtz_tol: float = 1e-8        # momentum solve rel tol (reference: tpp:1166 1e-8*rhs)
     temperature_tol: float = 1e-12     # temperature CG rel tol (reference: tpp:1431 1e-12*rhs)
     poisson_tol: float = 1e-8
@@ -229,6 +233,8 @@ class Parameters:
           "projection|coupled (coupled = monolithic saddle-point solve).")
         d(_NUM, "buoyancy", "perturbation", "string",
           "perturbation|full (hydrostatic background split on/off).")
+        d(_NUM, "advection scheme", "muscl", "string",
+          "muscl|upwind|centered face reconstruction.")
         d(_NUM, "n radial", "0", "integer", "Radial points override (0=derive).")
         d(_NUM, "n lat", "0", "integer", "Latitude points override.")
         d(_NUM, "n lon", "0", "integer", "Longitude points override.")
@@ -301,6 +307,7 @@ class Parameters:
             projection=prm.get(_NUM, "projection"),
             momentum_solver=prm.get(_NUM, "momentum solver"),
             buoyancy=prm.get(_NUM, "buoyancy"),
+            advection_scheme=prm.get(_NUM, "advection scheme"),
             n_radial=prm.get_integer(_NUM, "n radial"),
             n_lat=prm.get_integer(_NUM, "n lat"),
             n_lon=prm.get_integer(_NUM, "n lon"),

@@ -98,6 +98,10 @@ def main(argv=None) -> int:
             raise ValueError(
                 "FEEC solver untested in 2D. Aborting. "
                 "(reference parity: source/main.cxx:100-104)")
+        if params.use_direct_solver:
+            raise ValueError(
+                "no direct solver implemented. Aborting. "
+                "(reference parity: boussinesq_model.tpp:1886-1894 throws)")
         return _run(params, args)
     except Exception as exc:  # reference main.cxx:128-156 catch-all
         print("----------------------------------------------------", file=sys.stderr)

@@ -179,7 +179,7 @@ class BoussinesqModel:
         self.omega_hat = ref.length * pc.omega / ref.velocity
         self.coriolis_mode = "reference"
         self.advection_form = "rotational" if params.use_FEEC_solver else "advective"
-        self.advection_scheme = "upwind"
+        self.advection_scheme = params.numerics.advection_scheme
 
         self._setup_bcs()
         self._setup_static_fields()

@@ -161,3 +161,68 @@ def test_volume_mean_constant():
     g = make_shell(4, 8, 16, 1.0, 3.0)
     f = jnp.full(g.cell_shape, 2.5)
     assert float(st.volume_mean(g, f)) == pytest.approx(2.5, rel=1e-12)
+
+
+class TestMusclAdvection:
+    """Second-order MUSCL vs first-order upwind (ops/stencil.py
+    muscl_to_faces): convergence order and TVD monotonicity on solid
+    rotation around the periodic annulus axis."""
+
+    @staticmethod
+    def _advect_error(n_phi, scheme, steps=None):
+        from dycoreplanet_tpu.grid import factory
+        from dycoreplanet_tpu.ops import stencil as st
+        from dycoreplanet_tpu.ops.bc import BC, BCSpec
+
+        geo = factory.make_annulus(4, n_phi, 1.0, 2.0)
+        specs = [BCSpec(BC.NEUMANN, BC.NEUMANN), None]
+        phi = np.asarray(geo.axes[1].centers)
+        r = np.asarray(geo.axes[0].centers)
+        f0 = jnp.asarray(np.broadcast_to(
+            np.sin(3 * phi)[None, :], geo.cell_shape).copy())
+        # angular velocity 1: u_phi = r at faces -> df/dt = -df/dphi
+        u_phi = jnp.asarray(np.broadcast_to(r[:, None], geo.cell_shape))
+        u_faces = [jnp.zeros(geo.cell_shape), u_phi]
+        dphi = 2 * np.pi / n_phi
+        dt = 0.2 * dphi          # CFL 0.2 against angular speed 1
+        steps = steps if steps is not None else int(round(0.5 / dt))
+        t_end = steps * dt
+        def rhs(g):
+            return -st.advect_scalar(geo, u_faces, g, specs,
+                                     scheme=scheme, form="advective")
+
+        f = f0
+        for _ in range(steps):   # SSP-RK2: isolates the SPATIAL order
+            f1 = f + dt * rhs(f)
+            f = 0.5 * (f + f1 + dt * rhs(f1))
+        exact = np.broadcast_to(
+            np.sin(3 * (phi - t_end))[None, :], geo.cell_shape)
+        return float(jnp.max(jnp.abs(f - jnp.asarray(exact))))
+
+    def test_muscl_converges_faster_than_upwind(self):
+        e_mu_64 = self._advect_error(64, "muscl")
+        e_mu_128 = self._advect_error(128, "muscl")
+        e_up_128 = self._advect_error(128, "upwind")
+        assert e_mu_128 < e_up_128 / 3          # much more accurate
+        # max-norm order ~1.4 (van Leer clips smooth extrema; L1 is ~2)
+        assert e_mu_64 / e_mu_128 > 2.3
+
+    def test_muscl_is_tvd_on_step_profile(self):
+        from dycoreplanet_tpu.grid import factory
+        from dycoreplanet_tpu.ops import stencil as st
+        from dycoreplanet_tpu.ops.bc import BC, BCSpec
+
+        geo = factory.make_annulus(4, 64, 1.0, 2.0)
+        specs = [BCSpec(BC.NEUMANN, BC.NEUMANN), None]
+        phi = np.asarray(geo.axes[1].centers)
+        step = (np.abs(phi - np.pi) < 0.8).astype(float)
+        f = jnp.asarray(np.broadcast_to(step[None, :], geo.cell_shape).copy())
+        r = np.asarray(geo.axes[0].centers)
+        u_faces = [jnp.zeros(geo.cell_shape),
+                   jnp.asarray(np.broadcast_to(r[:, None], geo.cell_shape))]
+        dt = 0.2 * (2 * np.pi / 64)
+        for _ in range(40):
+            f = f - dt * st.advect_scalar(geo, u_faces, f, specs,
+                                          scheme="muscl", form="advective")
+        assert float(jnp.max(f)) <= 1.0 + 1e-10   # no overshoot
+        assert float(jnp.min(f)) >= -1e-10        # no undershoot
