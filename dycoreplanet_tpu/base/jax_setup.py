@@ -23,11 +23,16 @@ def enable_compilation_cache(path: str | None = None) -> str:
                  or _DEFAULT_DIR)
     # key by backend: entries AOT-compiled for one platform (or another
     # host's CPU feature set, via the tunnel) must not be deserialized
-    # on a different one
+    # on a different one. For the plain CPU backend skip caching
+    # entirely: local compiles are fast, and tunnel-written CPU AOT
+    # entries carry the remote host's ISA features (SIGILL hazard).
     try:
-        cache_dir = os.path.join(cache_dir, jax.default_backend())
+        backend = jax.default_backend()
     except RuntimeError:
-        pass
+        backend = "unknown"
+    if backend == "cpu":
+        return ""
+    cache_dir = os.path.join(cache_dir, backend)
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # cache every executable: on high-latency platforms even small

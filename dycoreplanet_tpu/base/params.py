@@ -116,6 +116,10 @@ class Numerics:
     # default — accuracy peer of the reference's Q2 transport),
     # upwind (1st order), centered (2nd order, unlimited)
     advection_scheme: str = "muscl"
+    # temperature transport: "eulerian" (MUSCL/upwind flux form) or
+    # "semi-lagrangian" (unconditionally stable backward-trajectory
+    # gather — pairs with NSE-interval sub-cycling at large CFL)
+    temperature_advection: str = "eulerian"
     helmholtz_tol: float = 1e-8        # momentum solve rel tol (reference: tpp:1166 1e-8*rhs)
     temperature_tol: float = 1e-12     # temperature CG rel tol (reference: tpp:1431 1e-12*rhs)
     poisson_tol: float = 1e-8
@@ -235,6 +239,8 @@ class Parameters:
           "perturbation|full (hydrostatic background split on/off).")
         d(_NUM, "advection scheme", "muscl", "string",
           "muscl|upwind|centered face reconstruction.")
+        d(_NUM, "temperature advection", "eulerian", "string",
+          "eulerian|semi-lagrangian temperature transport.")
         d(_NUM, "n radial", "0", "integer", "Radial points override (0=derive).")
         d(_NUM, "n lat", "0", "integer", "Latitude points override.")
         d(_NUM, "n lon", "0", "integer", "Longitude points override.")
@@ -308,6 +314,7 @@ class Parameters:
             momentum_solver=prm.get(_NUM, "momentum solver"),
             buoyancy=prm.get(_NUM, "buoyancy"),
             advection_scheme=prm.get(_NUM, "advection scheme"),
+            temperature_advection=prm.get(_NUM, "temperature advection"),
             n_radial=prm.get_integer(_NUM, "n radial"),
             n_lat=prm.get_integer(_NUM, "n lat"),
             n_lon=prm.get_integer(_NUM, "n lon"),

@@ -498,9 +498,8 @@ class BoussinesqModel:
         # ---------------- temperature (implicit diffusion) -------------
         # advect with the OLD velocity (reference: assemble_temperature_rhs
         # runs before solve_NSE, boussinesq_model.tpp:1883-1905)
-        adv_T = st.advect_scalar(geo, u_faces, T, self.T_specs,
-                                 scheme=self.advection_scheme, form="advective")
-        rhs_T = vol * (T - dt_T * adv_T) + dt_T * self.one_over_Pe * self.T_lap_offset
+        T_adv = self._advected_temperature(u, u_faces, T, dt_T)
+        rhs_T = vol * T_adv + dt_T * self.one_over_Pe * self.T_lap_offset
 
         kT = dt_T * self.one_over_Pe
 
@@ -531,6 +530,21 @@ class BoussinesqModel:
             step_number=state.step_number + 1,
         )
         return new_state, packed
+
+    # ------------------------------------------------------------------
+    def _advected_temperature(self, u, u_faces, T, dt_T):
+        """T after the explicit transport sub-step: Eulerian tendency
+        (T - dt u.grad T) or semi-Lagrangian departure gather."""
+        if self.params.numerics.temperature_advection == "semi-lagrangian":
+            from dycoreplanet_tpu.ops.semi_lagrangian import (
+                semi_lagrangian_transport)
+
+            return semi_lagrangian_transport(
+                self.geo, u, T, self.T_specs, dt_T)
+        adv_T = st.advect_scalar(self.geo, u_faces, T, self.T_specs,
+                                 scheme=self.advection_scheme,
+                                 form="advective")
+        return T - dt_T * adv_T
 
     # ------------------------------------------------------------------
     def _solve_momentum_projection(self, rhs_u, pres, dt):
@@ -776,9 +790,8 @@ class BoussinesqModel:
         dt_T = dt / p.NSE_solver_interval
         T = state.T
 
-        adv_T = st.advect_scalar(geo, state.u_faces, T, self.T_specs,
-                                 scheme=self.advection_scheme, form="advective")
-        rhs_T = vol * (T - dt_T * adv_T) + dt_T * self.one_over_Pe * self.T_lap_offset
+        T_adv = self._advected_temperature(state.u, state.u_faces, T, dt_T)
+        rhs_T = vol * T_adv + dt_T * self.one_over_Pe * self.T_lap_offset
         kT = dt_T * self.one_over_Pe
 
         def temp_op(x):

@@ -84,3 +84,48 @@ def pad_axis(
         lo = _ghost(f, d, "lo", spec.lo, spec.lo_value, lon_axis)
         hi = _ghost(f, d, "hi", spec.hi, spec.hi_value, lon_axis)
     return jnp.concatenate([lo, f, hi], axis=d)
+
+
+def _ghost_k(f, d, end, rule, value, lon_axis, k):
+    """Ghost slice at distance k (reflection through the wall: the
+    mirror partner of ghost k is interior cell k-1)."""
+    if end == "lo":
+        interior = _take(f, d, slice(k - 1, k))
+    else:
+        interior = _take(f, d, slice(-k, -k + 1) if k > 1
+                         else slice(-1, None))
+    if rule == BC.NEUMANN:
+        return interior
+    if rule == BC.DIRICHLET:
+        return 2.0 * value - interior
+    if rule == BC.ANTISYM:
+        return -interior
+    if rule in (BC.POLE, BC.POLE_FLIP):
+        shifted = jnp.roll(interior, f.shape[lon_axis] // 2, axis=lon_axis)
+        return -shifted if rule == BC.POLE_FLIP else shifted
+    raise ValueError(f"ghost rule {rule} not valid for a wall axis")
+
+
+def pad_axis_width(
+    f: jnp.ndarray,
+    d: int,
+    spec: Optional[BCSpec],
+    periodic: bool,
+    width: int,
+    lon_axis: int = -1,
+) -> jnp.ndarray:
+    """``f`` extended by ``width`` ghost layers at each end of axis d
+    (reflection-consistent for every rule; periodic wraps properly).
+    Used by wide-stencil consumers (semi-Lagrangian transport)."""
+    if periodic:
+        lo = _take(f, d, slice(-width, None))
+        hi = _take(f, d, slice(0, width))
+    else:
+        assert spec is not None, "wall axis requires a BCSpec"
+        lo = jnp.concatenate(
+            [_ghost_k(f, d, "lo", spec.lo, spec.lo_value, lon_axis, k)
+             for k in range(width, 0, -1)], axis=d)
+        hi = jnp.concatenate(
+            [_ghost_k(f, d, "hi", spec.hi, spec.hi_value, lon_axis, k)
+             for k in range(1, width + 1)], axis=d)
+    return jnp.concatenate([lo, f, hi], axis=d)
