@@ -120,6 +120,11 @@ class Numerics:
     # "semi-lagrangian" (unconditionally stable backward-trajectory
     # gather — pairs with NSE-interval sub-cycling at large CFL)
     temperature_advection: str = "eulerian"
+    # Coriolis handling: "reference" reproduces the reference's quirks
+    # (no Coriolis in the 3D shell standard path, un-scaled 2D term —
+    # SURVEY.md section 7.5); "physical" applies the documented
+    # equations (2 Omega x u everywhere)
+    coriolis_mode: str = "reference"
     helmholtz_tol: float = 1e-8        # momentum solve rel tol (reference: tpp:1166 1e-8*rhs)
     temperature_tol: float = 1e-12     # temperature CG rel tol (reference: tpp:1431 1e-12*rhs)
     poisson_tol: float = 1e-8
@@ -241,6 +246,8 @@ class Parameters:
           "muscl|upwind|centered face reconstruction.")
         d(_NUM, "temperature advection", "eulerian", "string",
           "eulerian|semi-lagrangian temperature transport.")
+        d(_NUM, "coriolis mode", "reference", "string",
+          "reference|physical Coriolis treatment.")
         d(_NUM, "n radial", "0", "integer", "Radial points override (0=derive).")
         d(_NUM, "n lat", "0", "integer", "Latitude points override.")
         d(_NUM, "n lon", "0", "integer", "Longitude points override.")
@@ -315,6 +322,7 @@ class Parameters:
             buoyancy=prm.get(_NUM, "buoyancy"),
             advection_scheme=prm.get(_NUM, "advection scheme"),
             temperature_advection=prm.get(_NUM, "temperature advection"),
+            coriolis_mode=prm.get(_NUM, "coriolis mode"),
             n_radial=prm.get_integer(_NUM, "n radial"),
             n_lat=prm.get_integer(_NUM, "n lat"),
             n_lon=prm.get_integer(_NUM, "n lon"),

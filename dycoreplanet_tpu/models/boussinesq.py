@@ -177,7 +177,7 @@ class BoussinesqModel:
         # (reference: boussinesq_model.tpp:616-621, 643-650)
         self.g_hat_scale = ref.length / ref.velocity**2
         self.omega_hat = ref.length * pc.omega / ref.velocity
-        self.coriolis_mode = "reference"
+        self.coriolis_mode = params.numerics.coriolis_mode
         self.advection_form = "rotational" if params.use_FEEC_solver else "advective"
         self.advection_scheme = params.numerics.advection_scheme
 

@@ -112,3 +112,36 @@ def test_velocity_ic_zero_and_rhs_zero():
     p = jnp.ones((4, 3))
     assert float(jnp.max(jnp.abs(velocity_initial_values(p)))) == 0.0
     assert float(jnp.max(jnp.abs(temperature_rhs(p)))) == 0.0
+
+
+def test_coriolis_mode_knob():
+    """'coriolis mode = physical' applies 2 Omega x u on the 3D shell
+    where the reference path has none (SURVEY.md section 7.5)."""
+    from dycoreplanet_tpu.base.params import Parameters
+    from dycoreplanet_tpu.models import BoussinesqModel
+
+    def build(mode):
+        p = Parameters.from_text("")
+        p.space_dimension = 3
+        p.cuboid_geometry = False
+        p.numerics.dtype = "float64"
+        p.numerics.coriolis_mode = mode
+        p.numerics.n_radial, p.numerics.n_lat, p.numerics.n_lon = 4, 8, 16
+        p.physical_constants.R0 = 1.0
+        p.physical_constants.atm_height = 2.0
+        p.physical_constants.omega = 0.5
+        p.physical_constants.__post_init__()
+        p.reference_quantities.velocity = 1.0
+        p.reference_quantities.length = 1.0
+        p.reference_quantities.temperature_ref = 2.0
+        p.reference_quantities.__post_init__()
+        return BoussinesqModel(p)
+
+    mr, mp = build("reference"), build("physical")
+    sr, sp = mr.initial_state(), mp.initial_state()
+    for _ in range(3):
+        sr, _ = mr.step(sr, 0.01)
+        sp, _ = mp.step(sp, 0.01)
+    dr = float(np.max(np.abs(np.asarray(sr.u) - np.asarray(sp.u))))
+    assert dr > 1e-8  # rotation actually acts in physical mode
+    assert np.isfinite(np.asarray(sp.u)).all()
