@@ -117,10 +117,25 @@ def on_tpu() -> bool:
         return False
 
 
+# Session-wide dispatch override: set False when compiling for host-CPU
+# devices while the default backend is a TPU (e.g. the driver's
+# virtual-device multichip dry run) — Pallas has no CPU lowering.
+_use_pallas_override: Optional[bool] = None
+
+
+def set_use_pallas(value: Optional[bool]) -> None:
+    global _use_pallas_override
+    _use_pallas_override = value
+
+
 def tridiag_solve(lower, diag, upper, rhs, *, use_pallas: Optional[bool] = None):
     """Dispatch: Pallas kernel on TPU, lax.scan Thomas elsewhere."""
     if use_pallas is None:
-        use_pallas = on_tpu()
+        use_pallas = (
+            _use_pallas_override
+            if _use_pallas_override is not None
+            else on_tpu()
+        )
     if use_pallas:
         return tridiag_pallas(lower, diag, upper, rhs)
     return thomas_solve(
