@@ -321,6 +321,116 @@ class ShellPoissonDirect:
         return x.astype(b.dtype), jnp.asarray(0, jnp.int32)
 
 
+class ShellPoissonFastDiag:
+    """EXACT shell solve by full fast diagonalization — pure MXU work.
+
+    Supersedes ShellPoissonDirect's FFT + batched-Thomas pipeline: on
+    TPU the rfft/irfft pair costs ~115 us and the length-32 tridiagonal
+    sweep is sequential (a 2*nr-step recurrence the MXU can't help
+    with), while dense (n x n) transforms at n <= 256 are matmuls the
+    systolic array eats for free. All three axes are diagonalized:
+
+      lon:  real DFT as a matmul pair (F fwd, its f64 pseudo-inverse bwd
+            — exact roundtrip, unlike pairing F with F^T when the
+            sin rows of k=0/Nyquist vanish)
+      lat:  per-mode generalized eigentransform V_k (as in
+            ShellPoissonDirect; V_k^T M V_k = I)
+      r:    the shared symmetric radial tridiagonal T_r = Q D Q^T
+            (uniform radial spacing makes T_r mode-independent)
+
+    leaving a pointwise division by (D_a + lam_{m,k}). The global
+    Neumann nullspace (the single zero of that denominator) is handled
+    by a host-precomputed pseudo-inverse: its reciprocal is zeroed, so
+    the returned solution is the exact minimum-norm one and callers
+    re-normalize the mean as usual. No pinning, no deflation, no
+    sequential recurrences — one step of the pressure projection is
+    six dense transforms and one elementwise multiply.
+    """
+
+    def __init__(self, geo: Geometry, dtype=jnp.float32,
+                 use_pallas: Optional[bool] = None):
+        assert geo.kind == "shell"
+        self.geo = geo
+        nr, nlat, nlon = geo.cell_shape
+        self.nm = nlon // 2 + 1
+        nm = self.nm
+        a = _conductance(geo, 0)[:, :, 0].astype(np.float64)
+        b = _conductance(geo, 1)[:, :, 0].astype(np.float64)
+        c = _conductance(geo, 2)[:, :, 0].astype(np.float64)
+        cosl = np.cos(np.asarray(geo.axes[1].centers, np.float64))
+        alpha = a[:, 0] / cosl[0]                  # (nr+1,)
+        bl = b[0]                                   # (nlat+1,) pole-zeroed
+        gl = c[0]                                   # (nlat,)
+        mu = _mu(nlon, rfft=True)                   # (nm,) <= 0
+
+        # --- latitude generalized eigentransforms (per lon mode) ------
+        T = np.zeros((nlat, nlat))
+        for j in range(nlat):
+            T[j, j] = bl[j] + bl[j + 1]
+            if j > 0:
+                T[j, j - 1] = -bl[j]
+            if j < nlat - 1:
+                T[j, j + 1] = -bl[j + 1]
+        Ms = 1.0 / np.sqrt(cosl)
+        lam = np.zeros((nm, nlat))
+        V = np.zeros((nm, nlat, nlat))
+        for k in range(nm):
+            Sh = Ms[:, None] * (T + np.diag(-gl * mu[k])) * Ms[None, :]
+            w, W = np.linalg.eigh(0.5 * (Sh + Sh.T))
+            lam[k] = w
+            V[k] = Ms[:, None] * W                 # V^T M V = I
+        lam = np.maximum(lam, 0.0)
+
+        # --- radial eigentransform (shared by every mode) --------------
+        Tr = (np.diag(alpha[:-1] + alpha[1:])
+              - np.diag(alpha[1:-1], 1) - np.diag(alpha[1:-1], -1))
+        D, Q = np.linalg.eigh(0.5 * (Tr + Tr.T))    # Q orthogonal
+
+        # denominators D_a + lam_{m,k}; pseudo-invert the nullspace zero
+        denom = D[:, None, None] + lam.T[None, :, :]   # (nr, nlat, nm)
+        tiny = 1e-10 * float(denom.max())
+        inv_denom = np.where(denom > tiny, 1.0 / np.maximum(denom, tiny), 0.0)
+
+        # --- real-DFT matmul pair for longitude ------------------------
+        # rows: Re (cos) then -Im (sin) of the rfft, at cell centers
+        ll = np.arange(nlon)
+        kk = np.arange(nm)
+        ang = 2.0 * np.pi * kk[:, None] * ll[None, :] / nlon
+        F = np.concatenate([np.cos(ang), -np.sin(ang)], axis=0)  # (2nm, nlon)
+        G = np.linalg.pinv(F, rcond=1e-12)                       # (nlon, 2nm)
+
+        f = lambda x: np.asarray(x, dtype=dtype)   # host constants
+        self._F = f(F)
+        self._G = f(G)
+        self._V = f(V)
+        self._Q = f(Q)
+        self._inv_denom = f(inv_denom[:, :, None, :])  # (nr, nlat, 1, nm)
+
+    def __call__(self, b: jnp.ndarray) -> jnp.ndarray:
+        return self.solve(b)[0]
+
+    def solve(self, b: jnp.ndarray):
+        nm = self.nm
+        acc = jnp.promote_types(b.dtype, jnp.float32)
+        hi = jax.lax.Precision.HIGHEST
+        bw = b.astype(acc)
+        # lon forward: (nr, nlat, 2nm) -> split re/im into axis 2
+        bh = jnp.einsum("kl,ijl->ijk", self._F, bw, precision=hi)
+        bs = jnp.stack([bh[..., :nm], bh[..., nm:]], axis=2)  # (nr,j,2,k)
+        # lat forward (per-mode batched matmul)
+        yh = jnp.einsum("kjm,ijsk->imsk", self._V, bs, precision=hi)
+        # r forward, divide, r backward
+        zh = jnp.einsum("ia,imsk->amsk", self._Q, yh, precision=hi)
+        wh = zh * self._inv_denom
+        xh = jnp.einsum("ia,amsk->imsk", self._Q, wh, precision=hi)
+        # lat backward
+        xs = jnp.einsum("kjm,imsk->ijsk", self._V, xh, precision=hi)
+        # lon backward (exact pseudo-inverse pair)
+        xk = jnp.concatenate([xs[:, :, 0, :], xs[:, :, 1, :]], axis=2)
+        x = jnp.einsum("lk,ijk->ijl", self._G, xk, precision=hi)
+        return x.astype(b.dtype), jnp.asarray(0, jnp.int32)
+
+
 def _uniform_radial(geo: Geometry) -> bool:
     dr = np.diff(np.asarray(geo.axes[0].faces))
     return bool(np.allclose(dr, dr[0], rtol=1e-12, atol=0.0))
@@ -333,5 +443,5 @@ def make_poisson_solver(geo: Geometry, dtype=jnp.float32,
     if geo.kind == "annulus":
         return AnnulusPoissonDirect(geo, dtype=dtype, use_pallas=use_pallas)
     if _uniform_radial(geo):
-        return ShellPoissonDirect(geo, dtype=dtype, use_pallas=use_pallas)
+        return ShellPoissonFastDiag(geo, dtype=dtype)
     return ShellPoissonSpectral(geo, dtype=dtype, use_pallas=use_pallas, **kw)

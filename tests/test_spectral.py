@@ -132,8 +132,77 @@ class TestShellPoissonDirect:
         import jax.numpy as jnp
         from dycoreplanet_tpu.grid import factory
         from dycoreplanet_tpu.solvers.spectral import (
-            ShellPoissonDirect, make_poisson_solver)
+            ShellPoissonFastDiag, make_poisson_solver)
 
         g = factory.make_shell(4, 8, 16, 1.0, 3.0)
         s = make_poisson_solver(g, dtype=jnp.float64)
-        assert isinstance(s, ShellPoissonDirect)
+        assert isinstance(s, ShellPoissonFastDiag)
+
+
+class TestShellPoissonFastDiag:
+    """Full fast-diagonalization shell solver (three matmul transform
+    pairs, no FFT/Thomas): exactness vs the weak Laplacian and
+    agreement with ShellPoissonDirect."""
+
+    def test_exact_inverse(self):
+        import jax.numpy as jnp
+        from dycoreplanet_tpu.grid import factory
+        from dycoreplanet_tpu.ops import stencil as st
+        from dycoreplanet_tpu.ops.bc import BC, BCSpec
+        from dycoreplanet_tpu.solvers.spectral import ShellPoissonFastDiag
+
+        g = factory.make_shell(8, 16, 32, 1.0, 3.0)
+        specs = [BCSpec(BC.NEUMANN, BC.NEUMANN),
+                 BCSpec(BC.POLE, BC.POLE), None]
+        rng = np.random.RandomState(7)
+        x_true = jnp.asarray(rng.randn(8, 16, 32))
+        x_true = x_true - jnp.mean(x_true)
+        b = -st.weak_laplacian(g, x_true, specs)
+        solver = ShellPoissonFastDiag(g, dtype=jnp.float64)
+        x, iters = solver.solve(b)
+        x = x - jnp.mean(x)
+        vol = jnp.asarray(np.broadcast_to(g.vol, g.cell_shape))
+        x = x - jnp.sum(x * vol) / jnp.sum(vol) \
+            + jnp.sum(x_true * vol) / jnp.sum(vol)
+        assert int(iters) == 0
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_true),
+                                   rtol=0, atol=1e-9)
+
+    def test_matches_direct(self):
+        import jax.numpy as jnp
+        from dycoreplanet_tpu.grid import factory
+        from dycoreplanet_tpu.solvers.spectral import (
+            ShellPoissonDirect, ShellPoissonFastDiag)
+
+        g = factory.make_shell(6, 12, 24, 1.0, 3.0)
+        rng = np.random.RandomState(8)
+        b = jnp.asarray(rng.randn(6, 12, 24))
+        b = b - jnp.mean(b)
+        xf, _ = ShellPoissonFastDiag(g, dtype=jnp.float64).solve(b)
+        xd, _ = ShellPoissonDirect(g, dtype=jnp.float64).solve(b)
+        xf = xf - jnp.mean(xf)
+        xd = xd - jnp.mean(xd)
+        np.testing.assert_allclose(np.asarray(xf), np.asarray(xd),
+                                   rtol=0, atol=1e-9)
+
+    def test_f32_accuracy(self):
+        import jax.numpy as jnp
+        from dycoreplanet_tpu.grid import factory
+        from dycoreplanet_tpu.ops import stencil as st
+        from dycoreplanet_tpu.ops.bc import BC, BCSpec
+        from dycoreplanet_tpu.solvers.spectral import ShellPoissonFastDiag
+
+        g = factory.make_shell(16, 32, 64, 1.0, 3.0)
+        specs = [BCSpec(BC.NEUMANN, BC.NEUMANN),
+                 BCSpec(BC.POLE, BC.POLE), None]
+        rng = np.random.RandomState(9)
+        x_true = jnp.asarray(rng.randn(16, 32, 64), dtype=jnp.float32)
+        x_true = x_true - jnp.mean(x_true)
+        b = -st.weak_laplacian(g, x_true, specs)
+        solver = ShellPoissonFastDiag(g, dtype=jnp.float32)
+        x, _ = solver.solve(b)
+        vol = jnp.asarray(np.broadcast_to(g.vol, g.cell_shape),
+                          jnp.float32)
+        x = x - jnp.sum(x * vol) / jnp.sum(vol) \
+            + jnp.sum(x_true * vol) / jnp.sum(vol)
+        assert float(jnp.max(jnp.abs(x - x_true))) < 5e-4
