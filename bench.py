@@ -104,8 +104,14 @@ def main() -> None:
     _, state = _timed_chain(model, state, dt, 5)
 
     n1, n2 = (5, 45) if on_tpu else (1, 4)
-    t1, s1 = _timed_chain(model, state, dt, n1)
-    t2, s2 = _timed_chain(model, state, dt, n2)
+    reps = 3 if on_tpu else 1
+    # tunnel latency is noisy (~±20%): take the min over repeats of each
+    # chain before the slope — the min is the least-contended estimate
+    t1 = t2 = float("inf")
+    for _ in range(reps):
+        ta, _ = _timed_chain(model, state, dt, n1)
+        tb, s2 = _timed_chain(model, state, dt, n2)
+        t1, t2 = min(t1, ta), min(t2, tb)
     per_step = (t2 - t1) / (n2 - n1)
 
     # representative diagnostics from the long chain's last step

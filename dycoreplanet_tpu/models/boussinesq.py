@@ -449,11 +449,13 @@ class BoussinesqModel:
         else:
             buoy = rho[None] * self.gravity
 
-        # advection of momentum
+        # advection of momentum (div(u_faces) hoisted across components)
         if self.advection_form == "advective":
+            div_u = st.divergence(geo, list(u_faces))
             adv = jnp.stack([
                 st.advect_scalar(geo, u_faces, u[c], self.u_specs[c],
-                                 scheme=self.advection_scheme, form="advective")
+                                 scheme=self.advection_scheme,
+                                 form="advective", div_u=div_u)
                 for c in range(dim)
             ])
             adv = adv + vec.advection_curvature(geo, u)

@@ -119,13 +119,18 @@ def muscl_to_faces(geo: Geometry, f: jnp.ndarray, d: int, u_face: jnp.ndarray,
         p2 = jnp.concatenate(
             [_sl(p1, d, slice(0, 1)), p1, _sl(p1, d, slice(-1, None))],
             axis=d)                                 # replicate 2nd ghost
-    # P2[k] = cell k-2; left face i sits between cells i-1 and i
-    qm2 = _sl(p2, d, slice(0, n))       # cell i-2
+    # P2[k] = cell k-2; left face i sits between cells i-1 and i.
+    # One limited-slope array shared between the L and R states (cell j's
+    # slope feeds face j+1 from the left and face j from the right):
+    # halves the limiter evaluations of the naive two-sided form.
+    nf2 = n + 4
+    diff = _sl(p2, d, slice(1, nf2)) - _sl(p2, d, slice(0, nf2 - 1))
+    slope = _van_leer(_sl(diff, d, slice(0, n + 2)),
+                      _sl(diff, d, slice(1, n + 3)))  # slope[m] = cell m-1
     qm1 = _sl(p2, d, slice(1, n + 1))   # cell i-1
     q0 = _sl(p2, d, slice(2, n + 2))    # cell i
-    qp1 = _sl(p2, d, slice(3, n + 3))   # cell i+1
-    L = qm1 + 0.5 * _van_leer(qm1 - qm2, q0 - qm1)
-    R = q0 - 0.5 * _van_leer(q0 - qm1, qp1 - q0)
+    L = qm1 + 0.5 * _sl(slope, d, slice(0, n))
+    R = q0 - 0.5 * _sl(slope, d, slice(1, n + 1))
     return jnp.where(u_face > 0, L, R)
 
 
@@ -189,13 +194,16 @@ def advect_scalar(
     specs: Sequence[Optional[BCSpec]],
     scheme: str = "upwind",
     form: str = "advective",
+    div_u: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """u . grad f (advective form, matching the reference's explicit
     advection term) or div(u f) (flux/conservative form).
 
     The two coincide for discretely divergence-free u; the advective
     form subtracts f*div(u) so that the operator is exactly the
-    directional derivative even for the predictor velocity."""
+    directional derivative even for the predictor velocity. Callers
+    advecting several scalars with the same ``u_faces`` should pass the
+    precomputed ``div_u`` to share it across calls."""
     face_vals = []
     for d in range(geo.dim):
         if scheme == "upwind":
@@ -211,7 +219,9 @@ def advect_scalar(
     if form == "flux":
         return div_uf
     if form == "advective":
-        return div_uf - f * divergence(geo, u_faces)
+        if div_u is None:
+            div_u = divergence(geo, u_faces)
+        return div_uf - f * div_u
     raise ValueError(f"unknown advection form {form!r}")
 
 
