@@ -64,13 +64,12 @@ def _seed_state(model, state, amp=0.1):
 
 
 def _timed_chain(model, state, dt, n_steps):
-    """Run n_steps chained jitted steps and return (elapsed, final)."""
+    """Run n_steps inside one on-device lax.scan (production multi-step
+    mode) and return (elapsed, final)."""
     import jax.numpy as jnp
 
     t0 = time.perf_counter()
-    s = state
-    for _ in range(n_steps):
-        s, _ = model._jit_step(s, dt)
+    s, _ = model.multi_step(state, dt, n_steps, collect_diagnostics=False)
     # force full materialization: scalar reduction pulled to host
     float(jnp.sum(s.u[0]))
     return time.perf_counter() - t0, s

@@ -780,6 +780,41 @@ class BoussinesqModel:
         return new_state, StepDiagnostics(packed, self.geo.dim)
 
     # ------------------------------------------------------------------
+    def multi_step(self, state: State, dt, n_steps: int,
+                   collect_diagnostics: bool = True):
+        """Advance ``n_steps`` steps inside ONE jitted lax.scan.
+
+        Production throughput mode: a Python-level step loop pays one
+        host->device dispatch per step (~0.3 ms over the tunneled TPU
+        link — a third of the step itself at 32x128x256); scanning
+        on-device removes it. Fixed dt (no adaptive control inside the
+        scan) and NSE_solver_interval == 1 semantics.
+
+        Returns (final_state, packed_diagnostics[n_steps, k]) — per-step
+        diagnostics come back stacked in one device array, so reading
+        them costs a single pull. With ``collect_diagnostics=False``
+        only the LAST step's diagnostics are computed
+        (packed shape [1, k]): the per-step field reductions
+        (CFL / extrema / divergence maxima) cost ~0.2 ms/step at
+        32x128x256 and XLA dead-code-eliminates them when unused."""
+        if not hasattr(self, "_jit_multi_step"):
+            def scan_steps(state, dt, n, collect):
+                def body(s, _):
+                    ns, packed = self._step_impl(s, dt)
+                    return ns, (packed if collect else None)
+
+                if collect:
+                    return jax.lax.scan(body, state, None, length=n)
+                s, _ = jax.lax.scan(body, state, None, length=n - 1)
+                s, packed = self._step_impl(s, dt)
+                return s, packed[None]
+
+            self._jit_multi_step = jax.jit(
+                scan_steps, static_argnames=("n", "collect"))
+        return self._jit_multi_step(state, jnp.asarray(dt, self.dtype),
+                                    n_steps, collect_diagnostics)
+
+    # ------------------------------------------------------------------
     def _temperature_step_impl(self, state: State, dt: jnp.ndarray):
         """Temperature-only substep with the velocity frozen — the
         iterations between NSE solves when ``NSE solver interval`` > 1

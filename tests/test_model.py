@@ -193,3 +193,45 @@ class TestPersonalitiesDiffer:
         du = float(jnp.max(jnp.abs(s1.u - s2.u)))
         u_scale = float(jnp.max(jnp.abs(s1.u)))
         assert du < 0.5 * max(u_scale, 1e-12)
+
+
+class TestMultiStep:
+    """model.multi_step (on-device lax.scan) must reproduce the
+    Python-level step loop exactly (same jitted step body)."""
+
+    def test_matches_step_loop(self):
+        from dycoreplanet_tpu.base.params import Parameters
+        from dycoreplanet_tpu.models import BoussinesqModel
+
+        p = Parameters.from_text("")
+        p.space_dimension = 2
+        p.numerics.dtype = "float64"
+        p.numerics.n_radial, p.numerics.n_lon = 8, 32
+        p.physical_constants.R0 = 1.0
+        p.physical_constants.atm_height = 2.0
+        p.physical_constants.expansion_coefficient = 0.3
+        p.physical_constants.__post_init__()
+        p.reference_quantities.velocity = 1.0
+        p.reference_quantities.length = 1.0
+        p.reference_quantities.temperature_ref = 2.0
+        p.reference_quantities.__post_init__()
+        m = BoussinesqModel(p)
+        dt = 0.01
+
+        s_loop = m.initial_state()
+        for _ in range(4):
+            s_loop, d_loop = m.step(s_loop, dt)
+
+        s_scan, packed = m.multi_step(m.initial_state(), dt, 4)
+        assert packed.shape[0] == 4
+        np.testing.assert_allclose(np.asarray(s_scan.u),
+                                   np.asarray(s_loop.u), atol=1e-14)
+        np.testing.assert_allclose(np.asarray(s_scan.T),
+                                   np.asarray(s_loop.T), atol=1e-14)
+        np.testing.assert_allclose(np.asarray(s_scan.p),
+                                   np.asarray(s_loop.p), atol=1e-14)
+        # stacked diagnostics: last row equals the loop's last step
+        from dycoreplanet_tpu.models.boussinesq import StepDiagnostics
+        d_last = StepDiagnostics(packed[-1], m.geo.dim)
+        np.testing.assert_allclose(d_last.max_velocity, d_loop.max_velocity,
+                                   rtol=1e-12)
