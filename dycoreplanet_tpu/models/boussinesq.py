@@ -482,9 +482,15 @@ class BoussinesqModel:
         rhs_u = u + dt * forcing
 
         if p.numerics.momentum_solver == "coupled":
-            # monolithic saddle-point solve (reference parity path)
+            # monolithic saddle-point solve (reference parity path);
+            # the FEEC personality gets the reference's 3x3
+            # vorticity-velocity-pressure block system (SURVEY §3.5)
+            coupled = (self._solve_momentum_coupled_feec
+                       if p.use_FEEC_solver and dim == 3
+                       and not p.use_schur_complement_solver
+                       else self._solve_momentum_coupled)
             u_new, p_new, new_faces, outer_iters, outer_rnorm = \
-                self._solve_momentum_coupled(u + dt * (forcing if
+                coupled(u + dt * (forcing if
                     p.numerics.projection != "incremental" else
                     forcing + jnp.stack([
                         st.centered_gradient(geo, pres, d, self.p_specs[d])
@@ -755,20 +761,158 @@ class BoussinesqModel:
         p_new = p_sol
         if p.correct_pressure_to_zero_mean:
             p_new = p_new - st.volume_mean(geo, p_new)
-        # carry Rhie-Chow faces: discretely div-free to solver tolerance
+        new_faces = self._rhie_chow_faces(u_sol, p_sol, dt)
+        return u_sol, p_new, new_faces, outer_iters, outer_rnorm
+
+    def _rhie_chow_faces(self, u_sol, p_sol, dt):
+        """Staggered faces from a collocated coupled solve: face-averaged
+        velocity corrected by the compact-minus-wide pressure-gradient
+        difference (discretely div-free to solver tolerance)."""
+        geo = self.geo
+        dim = geo.dim
         gradp_f = [st.grad_left_faces(geo, p_sol, d, self.p_specs[d])
                    for d in range(dim)]
         gradc = jnp.stack([
             st.centered_gradient(geo, p_sol, d, self.p_specs[d])
             for d in range(dim)
         ])
-        gradc_f = faces_of(gradc)
         new_faces = []
-        uf = faces_of(u_sol)
         for d in range(dim):
-            rc = uf[d] - dt * (gradp_f[d] - gradc_f[d])
+            uf = self._apply_wall_face_values(
+                self._interp_component_to_faces(u_sol[d], d), d)
+            gcf = self._apply_wall_face_values(
+                self._interp_component_to_faces(gradc[d], d), d)
+            rc = uf - dt * (gradp_f[d] - gcf)
             new_faces.append(self._apply_wall_face_values(rc, d))
-        return u_sol, p_new, new_faces, outer_iters, outer_rnorm
+        return new_faces
+
+    # ------------------------------------------------------------------
+    def _solve_momentum_coupled_feec(self, rhs_u, dt):
+        """Monolithic 3x3 vorticity-velocity-pressure solve — the FEEC
+        personality's reference-parity momentum path (reference:
+        ExteriorCalculus solve_NSE_block_preconditioned,
+        boussineq_model_FEEC.tpp:1268-1477; preconditioner sweep
+        block_schur_preconditioner.hpp:114-147).
+
+        System on the stacked unknown x = [w (3) | u (3) | p (1)]:
+            Mw w - Cw u            = 0          (w = curl u weakly)
+            B10 w + Mu u + G p     = V rhs_u    (B10 = dt/Re V curl:
+                                                 rotational-form diffusion,
+                                                 reference FEEC.tpp:763-766)
+            D u - stab(p)          = 0          (Rhie-Chow stabilized)
+        solved by restarted GMRES with the block-triangular sweep
+        w -> u -> p as the preconditioner:
+            w_hat = Mw^{-1} rw                       (diagonal mass)
+            u_hat = approx(Mu - Sw)^{-1} (ru - B10 w_hat)
+                    (ShiftedSchurComplement + truncated GMRES,
+                     reference shifted_schur_complement.hpp:155-171, 277-298)
+            p_hat = approxNestedSchur^{-1} (B21 u_hat - rp)
+                    (exact fast-diagonalization Poisson stands in for the
+                     <=100-iteration GMRES of nested_schur_complement.hpp:282-321)
+        """
+        geo = self.geo
+        p = self.params
+        dim = geo.dim
+        vol = self.vol
+        k_visc = dt * self.one_over_Re
+
+        def curl(v):
+            return vec.curl_3d(geo, v, self.u_specs)
+
+        def Mw_op(w):
+            return vol[None] * w
+
+        def Mw_inv(rw):
+            return rw / vol[None]
+
+        def B01_op(u):            # w-row coupling: -V curl u
+            return -vol[None] * curl(u)
+
+        def B10_op(w):            # u-row coupling: dt/Re V curl w
+            return k_visc * vol[None] * curl(w)
+
+        def Mu_op(u):
+            return vol[None] * u
+
+        def G_op(pp):
+            return dt * vol[None] * jnp.stack([
+                st.centered_gradient(geo, pp, d, self.p_specs[d])
+                for d in range(dim)
+            ])
+
+        def faces_of(u):
+            return [
+                self._apply_wall_face_values(
+                    self._interp_component_to_faces(u[c], c), c)
+                for c in range(dim)
+            ]
+
+        def D_op(u):
+            return vol * st.divergence(geo, faces_of(u))
+
+        def wide_lap(pp):
+            g = jnp.stack([
+                st.centered_gradient(geo, pp, d, self.p_specs[d])
+                for d in range(dim)
+            ])
+            return vol * st.divergence(geo, faces_of(g))
+
+        def stab(pp):
+            return dt * (st.weak_laplacian(geo, pp, self.p_specs)
+                         - wide_lap(pp))
+
+        def poisson_inv(rp):
+            rp0 = rp - jnp.mean(rp)
+            if self.poisson_spectral is not None:
+                phi, _ = self.poisson_spectral.solve(rp0)
+            else:
+                precond = (self.poisson_precond
+                           if self.poisson_precond is not None
+                           else (lambda r: r / self.poisson_diag))
+                phi = cg(lambda x: -st.weak_laplacian(geo, x, self.p_specs),
+                         rp0, rtol=p.numerics.poisson_tol,
+                         maxiter=p.numerics.max_cg_iters,
+                         preconditioner=precond).x
+            return phi - st.volume_mean(geo, phi)
+
+        # Mu - Sw = Mu - B10 Mw^{-1} B01 = V + dt/Re V curl(curl .)
+        shifted = la.shifted_schur_complement(Mu_op, B10_op, Mw_inv, B01_op)
+        shifted_inv = la.approximate_inverse(
+            shifted, n_iter=5, solver="gmres", restart=5,
+            preconditioner=lambda r: r / vol[None])
+
+        nw = dim  # vorticity components
+
+        def K_op(xx):
+            w, u, pp = xx[:nw], xx[nw:nw + dim], xx[nw + dim]
+            return jnp.concatenate([
+                Mw_op(w) + B01_op(u),
+                B10_op(w) + Mu_op(u) + G_op(pp),
+                (D_op(u) - stab(pp))[None],
+            ], 0)
+
+        def M_inv(rr):
+            rw, ru, rp = rr[:nw], rr[nw:nw + dim], rr[nw + dim]
+            what = Mw_inv(rw)
+            uhat = shifted_inv(ru - B10_op(what))
+            phat = -poisson_inv(rp) / dt
+            return jnp.concatenate([what, uhat, phat[None]], 0)
+
+        f = vol[None] * rhs_u
+        b = jnp.concatenate(
+            [jnp.zeros((nw,) + geo.cell_shape, f.dtype), f,
+             jnp.zeros_like(f[:1])], 0)
+        res = gmres(K_op, b, rtol=p.numerics.helmholtz_tol,
+                    restart=30, maxiter=p.numerics.max_cg_iters,
+                    preconditioner=M_inv)
+        u_sol = res.x[nw:nw + dim]
+        p_sol = res.x[nw + dim]
+
+        p_new = p_sol
+        if p.correct_pressure_to_zero_mean:
+            p_new = p_new - st.volume_mean(geo, p_new)
+        new_faces = self._rhie_chow_faces(u_sol, p_sol, dt)
+        return u_sol, p_new, new_faces, res.iterations, res.residual_norm
 
     # ------------------------------------------------------------------
     def step(self, state: State, dt: float):

@@ -128,3 +128,62 @@ class TestCoupled3DShell:
             s, d = m.step(s, p.time_step)
         assert np.isfinite(d.max_velocity)
         assert d.div_norm < 1e-6
+
+
+class TestFEECCoupled3x3:
+    """The FEEC personality's 3x3 vorticity-velocity-pressure block
+    solve (reference: ExteriorCalculus solve_NSE_block_preconditioned,
+    boussineq_model_FEEC.tpp:1268-1477)."""
+
+    def _params3d(self, **over):
+        p = Parameters.from_text("")
+        p.space_dimension = 3
+        p.cuboid_geometry = False
+        p.use_FEEC_solver = True
+        p.numerics.dtype = "float64"
+        p.numerics.n_radial, p.numerics.n_lat, p.numerics.n_lon = 6, 8, 16
+        p.physical_constants.R0 = 1.0
+        p.physical_constants.atm_height = 2.0
+        p.physical_constants.expansion_coefficient = 0.3
+        p.physical_constants.__post_init__()
+        p.reference_quantities.velocity = 1.0
+        p.reference_quantities.length = 1.0
+        p.reference_quantities.temperature_ref = 2.0
+        p.reference_quantities.__post_init__()
+        p.time_step = 0.01
+        for k, v in over.items():
+            setattr(p.numerics, k, v)
+        return p
+
+    def test_feec_coupled_selected_and_stable(self):
+        p = self._params3d(momentum_solver="coupled")
+        m = BoussinesqModel(p)
+        s = m.initial_state()
+        for _ in range(3):
+            s, d = m.step(s, p.time_step)
+        assert np.isfinite(d.max_velocity)
+        assert 1e-6 < d.max_velocity < 1.0
+        assert d.div_norm < 1e-6          # Rhie-Chow faces div-free
+
+    def test_feec_coupled_matches_projection(self):
+        p1 = self._params3d()                       # FEEC projection
+        p2 = self._params3d(momentum_solver="coupled")
+        m1, m2 = BoussinesqModel(p1), BoussinesqModel(p2)
+        s1, s2 = m1.initial_state(), m2.initial_state()
+        for _ in range(3):
+            s1, d1 = m1.step(s1, p1.time_step)
+            s2, d2 = m2.step(s2, p2.time_step)
+        umax = float(np.max(np.abs(np.asarray(s1.u))))
+        np.testing.assert_allclose(np.asarray(s2.u), np.asarray(s1.u),
+                                   rtol=0, atol=0.3 * umax)
+        np.testing.assert_allclose(np.asarray(s2.T), np.asarray(s1.T),
+                                   rtol=0, atol=1e-3)
+
+    def test_system_solved_to_tolerance(self):
+        """GMRES on the 3x3 operator must actually converge: the
+        returned residual norm is far below the rhs scale."""
+        p = self._params3d(momentum_solver="coupled")
+        m = BoussinesqModel(p)
+        s = m.initial_state()
+        s, d = m.step(s, p.time_step)
+        assert d.poisson_residual < 1e-8 or d.helmholtz_residual < 1e-8
