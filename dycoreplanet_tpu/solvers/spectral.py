@@ -29,7 +29,7 @@ with x[0] = 0 — exact, see _pin note), callers re-normalize the mean.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -107,6 +107,94 @@ class CuboidPoissonDirect:
         return x.astype(b.dtype), jnp.asarray(0, jnp.int32)
 
 
+def _real_dft_pair(n: int, dtype) -> Tuple[np.ndarray, np.ndarray]:
+    """(F, G): forward real-DFT matmul matrix (rows = Re then -Im of the
+    rfft) and its f64 pseudo-inverse — an exact roundtrip pair."""
+    nm = n // 2 + 1
+    ll = np.arange(n)
+    kk = np.arange(nm)
+    ang = 2.0 * np.pi * kk[:, None] * ll[None, :] / n
+    F = np.concatenate([np.cos(ang), -np.sin(ang)], axis=0)
+    G = np.linalg.pinv(F, rcond=1e-12)
+    return F.astype(dtype), G.astype(dtype)
+
+
+class CuboidPoissonFastDiag:
+    """EXACT cuboid solve by full fast diagonalization — pure MXU work.
+
+    Supersedes CuboidPoissonDirect's rfft2 + batched-Thomas pipeline
+    with dense transforms (see ShellPoissonFastDiag for the rationale —
+    FFTs and sequential tridiagonal recurrences are the two things the
+    TPU is worst at; (n x n) matmuls at n <= a few hundred are free):
+
+      x:   real DFT matmul pair (exact pseudo-inverse roundtrip)
+      y:   full DFT handled as TWO real transforms — since the operator
+           depends on the y mode only through mu_k = -4 sin^2(pi k/n),
+           which is identical for modes k and n-k, the y transform can
+           use the same real cos/sin row basis as an rfft: the basis
+           diagonalizes the periodic [1,-2,1] stencil and the pair
+           (F_y, pinv(F_y)) is an exact roundtrip
+      z:   the symmetric wall tridiagonal T_z = Q D Q^T (host eig)
+
+    leaving a pointwise multiply by the host-precomputed pseudo-inverse
+    of (D_a + shift_{ky,kx}) — the global Neumann nullspace's zero
+    denominator is zeroed, callers re-normalize the mean.
+    """
+
+    def __init__(self, geo: Geometry, dtype=jnp.float32,
+                 use_pallas: Optional[bool] = None):
+        assert geo.kind == "cuboid"
+        self.geo = geo
+        nz, ny, nx = geo.cell_shape
+        az = _conductance(geo, 0)[:, 0, 0].astype(np.float64)   # (nz+1,)
+        cy = float(_conductance(geo, 1)[0, 0, 0])
+        cx = float(_conductance(geo, 2)[0, 0, 0])
+        mu_y = _mu(ny, rfft=True)                    # (ny//2+1,)
+        mu_x = _mu(nx, rfft=True)                    # (nx//2+1,)
+        self.nmy = ny // 2 + 1
+        self.nmx = nx // 2 + 1
+
+        Tz = (np.diag(az[:-1] + az[1:])
+              - np.diag(az[1:-1], 1) - np.diag(az[1:-1], -1))
+        D, Q = np.linalg.eigh(0.5 * (Tz + Tz.T))
+
+        # mode shifts: stack re/im per axis (weights repeat)
+        mu_y2 = np.concatenate([mu_y, mu_y])         # (2nmy,)
+        mu_x2 = np.concatenate([mu_x, mu_x])         # (2nmx,)
+        shift = -(cy * mu_y2[:, None] + cx * mu_x2[None, :])
+        denom = D[:, None, None] + shift[None]       # (nz, 2nmy, 2nmx)
+        tiny = 1e-10 * float(denom.max())
+        inv_denom = np.where(denom > tiny, 1.0 / np.maximum(denom, tiny), 0.0)
+
+        Fy, Gy = _real_dft_pair(ny, np.float64)
+        Fx, Gx = _real_dft_pair(nx, np.float64)
+        f = lambda a: np.asarray(a, dtype=dtype)     # host constants
+        self._Fy, self._Gy = f(Fy), f(Gy)
+        self._Fx, self._Gx = f(Fx), f(Gx)
+        self._Q = f(Q)
+        self._inv_denom = f(inv_denom)
+
+    def __call__(self, b: jnp.ndarray) -> jnp.ndarray:
+        return self.solve(b)[0]
+
+    def solve(self, b: jnp.ndarray):
+        acc = jnp.promote_types(b.dtype, jnp.float32)
+        hi = jax.lax.Precision.HIGHEST
+        bw = b.astype(acc)
+        # NOTE: treating y and x as independent REAL transforms is exact
+        # here because the operator's mode dependence (mu) is even in k:
+        # the cos/sin rows are eigenvectors of the periodic [1,-2,1]
+        # stencil, so the mixed-axis cross terms stay diagonal.
+        h = jnp.einsum("ky,zyx->zkx", self._Fy, bw, precision=hi)
+        h = jnp.einsum("kx,zyx->zyk", self._Fx, h, precision=hi)
+        h = jnp.einsum("za,zyx->ayx", self._Q, h, precision=hi)
+        h = h * self._inv_denom
+        h = jnp.einsum("za,ayx->zyx", self._Q, h, precision=hi)
+        h = jnp.einsum("xk,zyk->zyx", self._Gx, h, precision=hi)
+        x = jnp.einsum("yk,zkx->zyx", self._Gy, h, precision=hi)
+        return x.astype(b.dtype), jnp.asarray(0, jnp.int32)
+
+
 class AnnulusPoissonDirect:
     """Exact solve via rfft over phi + batched Thomas in r."""
 
@@ -141,6 +229,62 @@ class AnnulusPoissonDirect:
         xi = tridiag_solve(self._lower, self._diag, self._upper, bh.imag,
                            use_pallas=self.use_pallas)
         x = jnp.fft.irfft(xr + 1j * xi, n=b.shape[1], axis=1)
+        return x.astype(b.dtype), jnp.asarray(0, jnp.int32)
+
+
+class AnnulusPoissonFastDiag:
+    """EXACT annulus solve by fast diagonalization — pure MXU work.
+
+    Unlike the cuboid/shell, the annulus radial operator depends on the
+    phi mode: A_k = T_r - mu_k diag(c_phi) with c_phi(r) = dr/(r dphi).
+    The generalized symmetric eigenproblem T_r W = diag(c_phi) W Lambda
+    (W^T diag(c_phi) W = I, computed once on the host in f64 via the
+    C^{-1/2} similarity) gives A_k^{-1} = W (Lambda - mu_k)^{-1} W^T for
+    EVERY mode simultaneously — one (nr x nr) matmul pair around a
+    pointwise multiply by the precomputed pseudo-inverse of
+    (Lambda_a - mu_k), replacing the rfft + batched Thomas.
+    """
+
+    def __init__(self, geo: Geometry, dtype=jnp.float32,
+                 use_pallas: Optional[bool] = None):
+        assert geo.kind == "annulus"
+        self.geo = geo
+        nr, nphi = geo.cell_shape
+        ar = _conductance(geo, 0)[:, 0].astype(np.float64)    # (nr+1,)
+        cphi = _conductance(geo, 1)[:, 0].astype(np.float64)  # (nr,)
+        mu = _mu(nphi, rfft=True)                             # (nm,) <= 0
+        mu2 = np.concatenate([mu, mu])                        # re+im stack
+
+        Tr = (np.diag(ar[:-1] + ar[1:])
+              - np.diag(ar[1:-1], 1) - np.diag(ar[1:-1], -1))
+        Ms = 1.0 / np.sqrt(cphi)
+        S = Ms[:, None] * Tr * Ms[None, :]
+        lam, U = np.linalg.eigh(0.5 * (S + S.T))
+        W = Ms[:, None] * U                                   # W^T C W = I
+        lam = np.maximum(lam, 0.0)
+
+        denom = lam[:, None] - mu2[None, :]                   # (nr, 2nm)
+        tiny = 1e-10 * float(denom.max())
+        inv_denom = np.where(denom > tiny, 1.0 / np.maximum(denom, tiny), 0.0)
+
+        F, G = _real_dft_pair(nphi, np.float64)
+        f = lambda a: np.asarray(a, dtype=dtype)              # host constants
+        self._F, self._G = f(F), f(G)
+        self._W = f(W)
+        self._inv_denom = f(inv_denom)
+
+    def __call__(self, b: jnp.ndarray) -> jnp.ndarray:
+        return self.solve(b)[0]
+
+    def solve(self, b: jnp.ndarray):
+        acc = jnp.promote_types(b.dtype, jnp.float32)
+        hi = jax.lax.Precision.HIGHEST
+        bw = b.astype(acc)
+        h = jnp.einsum("kp,rp->rk", self._F, bw, precision=hi)
+        h = jnp.einsum("ra,rk->ak", self._W, h, precision=hi)
+        h = h * self._inv_denom
+        h = jnp.einsum("ra,ak->rk", self._W, h, precision=hi)
+        x = jnp.einsum("pk,rk->rp", self._G, h, precision=hi)
         return x.astype(b.dtype), jnp.asarray(0, jnp.int32)
 
 
@@ -439,9 +583,9 @@ def _uniform_radial(geo: Geometry) -> bool:
 def make_poisson_solver(geo: Geometry, dtype=jnp.float32,
                         use_pallas: Optional[bool] = None, **kw):
     if geo.kind == "cuboid":
-        return CuboidPoissonDirect(geo, dtype=dtype, use_pallas=use_pallas)
+        return CuboidPoissonFastDiag(geo, dtype=dtype)
     if geo.kind == "annulus":
-        return AnnulusPoissonDirect(geo, dtype=dtype, use_pallas=use_pallas)
+        return AnnulusPoissonFastDiag(geo, dtype=dtype)
     if _uniform_radial(geo):
         return ShellPoissonFastDiag(geo, dtype=dtype)
     return ShellPoissonSpectral(geo, dtype=dtype, use_pallas=use_pallas, **kw)

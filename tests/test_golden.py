@@ -25,5 +25,8 @@ def test_trajectory_matches_golden(name):
                 got[key], want[key], rtol=1e-8, atol=1e-12,
                 err_msg=f"{name} step {i} field {key}")
         # div_norm is a near-zero residual; bound it instead of diffing
-        assert got["div_norm"] < max(2 * want["div_norm"], 1e-10), \
+        # 1e-9 floor: the exact-solver family (Thomas vs eigentransform)
+        # shifts this f64 residual by a few 1e-10 without any physical
+        # difference; a real projection regression shows up at >=1e-6
+        assert got["div_norm"] < max(2 * want["div_norm"], 1e-9), \
             f"{name} step {i} divergence regressed"

@@ -206,3 +206,79 @@ class TestShellPoissonFastDiag:
         x = x - jnp.sum(x * vol) / jnp.sum(vol) \
             + jnp.sum(x_true * vol) / jnp.sum(vol)
         assert float(jnp.max(jnp.abs(x - x_true))) < 5e-4
+
+
+class TestCuboidFastDiag:
+    def test_exact_inverse_and_matches_direct(self):
+        import jax.numpy as jnp
+        from dycoreplanet_tpu.solvers.spectral import (
+            CuboidPoissonDirect, CuboidPoissonFastDiag)
+
+        g = make_cuboid(8, 12, 16)
+        specs = [NEU, None, None]
+        rng = np.random.RandomState(11)
+        x_true = _mean_free(jnp.asarray(rng.randn(*g.cell_shape)))
+        b = -st.weak_laplacian(g, x_true, specs)
+        xf = _mean_free(CuboidPoissonFastDiag(g, dtype=jnp.float64)(b))
+        np.testing.assert_allclose(np.asarray(xf), np.asarray(x_true),
+                                   atol=1e-9)
+        xd = _mean_free(CuboidPoissonDirect(g, dtype=jnp.float64)(b))
+        np.testing.assert_allclose(np.asarray(xf), np.asarray(xd),
+                                   atol=1e-9)
+
+    def test_f32_accuracy(self):
+        import jax.numpy as jnp
+        from dycoreplanet_tpu.solvers.spectral import CuboidPoissonFastDiag
+
+        g = make_cuboid(8, 16, 16)
+        specs = [NEU, None, None]
+        rng = np.random.RandomState(12)
+        x_true = _mean_free(
+            jnp.asarray(rng.randn(*g.cell_shape), dtype=jnp.float32))
+        b = -st.weak_laplacian(g, x_true, specs)
+        x = _mean_free(CuboidPoissonFastDiag(g, dtype=jnp.float32)(b))
+        assert float(jnp.max(jnp.abs(x - x_true))) < 1e-4
+
+
+class TestAnnulusFastDiag:
+    def test_exact_inverse(self):
+        import jax.numpy as jnp
+        from dycoreplanet_tpu.solvers.spectral import AnnulusPoissonFastDiag
+
+        g = make_annulus(16, 48, 1.0, 3.0)
+        specs = [NEU, None]
+        rng = np.random.RandomState(13)
+        x_true = _mean_free(jnp.asarray(rng.randn(*g.cell_shape)))
+        b = -st.weak_laplacian(g, x_true, specs)
+        x = _mean_free(AnnulusPoissonFastDiag(g, dtype=jnp.float64)(b))
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_true),
+                                   atol=1e-9)
+
+    def test_thin_production_annulus(self):
+        # aqua_planet.prm regime: extreme aspect ratio r in [637.1, 647.1]
+        import jax.numpy as jnp
+        from dycoreplanet_tpu.solvers.spectral import AnnulusPoissonFastDiag
+
+        g = make_annulus(16, 192, 637.1, 647.1)
+        specs = [NEU, None]
+        rng = np.random.RandomState(14)
+        x_true = _mean_free(jnp.asarray(rng.randn(*g.cell_shape)))
+        b = -st.weak_laplacian(g, x_true, specs)
+        x = _mean_free(AnnulusPoissonFastDiag(g, dtype=jnp.float64)(b))
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_true),
+                                   atol=1e-7)
+
+
+class TestFastDiagSelection:
+    def test_selectors(self):
+        import jax.numpy as jnp
+        from dycoreplanet_tpu.solvers.spectral import (
+            AnnulusPoissonFastDiag, CuboidPoissonFastDiag,
+            make_poisson_solver)
+
+        assert isinstance(make_poisson_solver(make_cuboid(4, 8, 8),
+                                              dtype=jnp.float64),
+                          CuboidPoissonFastDiag)
+        assert isinstance(make_poisson_solver(make_annulus(4, 16, 1.0, 2.0),
+                                              dtype=jnp.float64),
+                          AnnulusPoissonFastDiag)
