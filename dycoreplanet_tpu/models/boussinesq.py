@@ -449,7 +449,10 @@ class BoussinesqModel:
         else:
             buoy = rho[None] * self.gravity
 
-        # advection of momentum (div(u_faces) hoisted across components)
+        # advection of momentum (per-component scalar calls: measured
+        # FASTER than the batched advect_vector on TPU — XLA fuses the
+        # three independent chains better than one stacked-pad chain;
+        # div(u_faces) hoisted across components)
         if self.advection_form == "advective":
             div_u = st.divergence(geo, list(u_faces))
             adv = jnp.stack([

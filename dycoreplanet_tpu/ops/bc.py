@@ -86,6 +86,40 @@ def pad_axis(
     return jnp.concatenate([lo, f, hi], axis=d)
 
 
+def pad_axis_stacked(
+    f: jnp.ndarray,
+    d: int,
+    specs,
+    periodic: bool,
+    lon_axis: int = -1,
+) -> jnp.ndarray:
+    """One ghost layer at each end of GRID axis ``d`` for a component-
+    stacked field ``f`` of shape (ncomp, *cells) — array axis d+1.
+
+    ``specs[c]`` is component c's BCSpec for this axis (ignored when
+    periodic). The per-component ghost construction touches only thin
+    edge slices; the bulk concatenation happens ONCE for the whole
+    stack, so downstream stencil math runs as a single fused kernel
+    over all components instead of ncomp separate pad/slice chains."""
+    ax = d + 1
+    if periodic:
+        lo = _take(f, ax, slice(-1, None))
+        hi = _take(f, ax, slice(0, 1))
+    else:
+        ncomp = f.shape[0]
+        lo = jnp.concatenate([
+            _ghost(f[c:c + 1], ax, "lo", specs[c].lo, specs[c].lo_value,
+                   lon_axis)
+            for c in range(ncomp)
+        ], axis=0)
+        hi = jnp.concatenate([
+            _ghost(f[c:c + 1], ax, "hi", specs[c].hi, specs[c].hi_value,
+                   lon_axis)
+            for c in range(ncomp)
+        ], axis=0)
+    return jnp.concatenate([lo, f, hi], axis=ax)
+
+
 def _ghost_k(f, d, end, rule, value, lon_axis, k):
     """Ghost slice at distance k (reflection through the wall: the
     mirror partner of ghost k is interior cell k-1)."""

@@ -226,3 +226,74 @@ class TestMusclAdvection:
                                           scheme="muscl", form="advective")
         assert float(jnp.max(f)) <= 1.0 + 1e-10   # no overshoot
         assert float(jnp.min(f)) >= -1e-10        # no undershoot
+
+
+class TestBatchedVectorOps:
+    """weak_laplacian_stacked / advect_vector must equal the stacked
+    per-component scalar calls exactly, for every geometry."""
+
+    def _setup(self, kind):
+        from dycoreplanet_tpu.grid import factory
+        from dycoreplanet_tpu.ops.bc import BC, BCSpec
+        AS, NEU = BC.ANTISYM, BC.NEUMANN
+        if kind == "shell":
+            g = factory.make_shell(6, 8, 16, 1.0, 3.0)
+            PO, PF = BC.POLE, BC.POLE_FLIP
+            specs = [
+                [BCSpec(AS, AS), BCSpec(PO, PO), None],
+                [BCSpec(AS, NEU), BCSpec(PF, PF), None],
+                [BCSpec(AS, NEU), BCSpec(PF, PF), None],
+            ]
+        elif kind == "cuboid":
+            g = factory.make_cuboid(6, 8, 10)
+            specs = [
+                [BCSpec(AS, AS), None, None],
+                [BCSpec(AS, NEU), None, None],
+                [BCSpec(AS, NEU), None, None],
+            ]
+        else:
+            g = factory.make_annulus(6, 16, 1.0, 2.0)
+            specs = [
+                [BCSpec(AS, AS), None],
+                [BCSpec(AS, NEU), None],
+            ]
+        rng = np.random.RandomState(hash(kind) % 2**31)
+        u = jnp.asarray(rng.randn(g.dim, *g.cell_shape))
+        uf = [jnp.asarray(rng.randn(*g.cell_shape)) for _ in range(g.dim)]
+        return g, specs, u, uf
+
+    @pytest.mark.parametrize("kind", ["shell", "cuboid", "annulus"])
+    def test_weak_laplacian_stacked(self, kind):
+        g, specs, u, _ = self._setup(kind)
+        batched = st.weak_laplacian_stacked(g, u, specs)
+        ref = jnp.stack([st.weak_laplacian(g, u[c], specs[c])
+                         for c in range(g.dim)])
+        np.testing.assert_allclose(np.asarray(batched), np.asarray(ref),
+                                   rtol=0, atol=1e-13)
+
+    @pytest.mark.parametrize("kind", ["shell", "cuboid", "annulus"])
+    @pytest.mark.parametrize("scheme", ["upwind", "muscl", "centered"])
+    def test_advect_vector(self, kind, scheme):
+        g, specs, u, uf = self._setup(kind)
+        batched = st.advect_vector(g, uf, u, specs, scheme=scheme,
+                                   form="advective")
+        ref = jnp.stack([
+            st.advect_scalar(g, uf, u[c], specs[c], scheme=scheme,
+                             form="advective")
+            for c in range(g.dim)
+        ])
+        np.testing.assert_allclose(np.asarray(batched), np.asarray(ref),
+                                   rtol=0, atol=1e-12)
+
+    @pytest.mark.parametrize("kind", ["shell"])
+    def test_advect_vector_flux_form(self, kind):
+        g, specs, u, uf = self._setup(kind)
+        batched = st.advect_vector(g, uf, u, specs, scheme="muscl",
+                                   form="flux")
+        ref = jnp.stack([
+            st.advect_scalar(g, uf, u[c], specs[c], scheme="muscl",
+                             form="flux")
+            for c in range(g.dim)
+        ])
+        np.testing.assert_allclose(np.asarray(batched), np.asarray(ref),
+                                   rtol=0, atol=1e-12)
