@@ -114,7 +114,7 @@ def main() -> None:
     per_step = (t2 - t1) / (n2 - n1)
 
     # representative diagnostics from the long chain's last step
-    _, packed = model._jit_step(s2, dt)
+    _, packed = model._jit_step(s2, dt, model._const_values())
     from dycoreplanet_tpu.models.boussinesq import StepDiagnostics
 
     diag = StepDiagnostics(packed, model.geo.dim)

@@ -99,6 +99,12 @@ class Numerics:
     dtype: str = "float32"            # compute dtype: float32|float64|bfloat16
     use_pallas: Optional[bool] = None  # None = auto (TPU only)
     poisson_solver: str = "auto"       # auto|fft|cg|mg
+    # implicit momentum/temperature Helmholtz solves: "auto"/"cg" use
+    # Jacobi-CG (fastest at the reference configs: the mass-dominated
+    # operator converges in a handful of iterations), "direct" the
+    # exact fast-diagonalization solver (flat cost — best for stiff
+    # regimes where CG iteration counts grow; solvers/helmholtz.py)
+    helmholtz_solver: str = "auto"     # auto|direct|cg
     # momentum solve strategy: "projection" (TPU-native incremental
     # pressure projection, the default) or "coupled" (monolithic
     # velocity-pressure saddle-point solve like the reference's; then
@@ -233,6 +239,8 @@ class Parameters:
         d(_NUM, "dtype", "float32", "string", "Compute dtype.")
         d(_NUM, "use pallas", "auto", "string", "Pallas kernels: auto|true|false.")
         d(_NUM, "poisson solver", "auto", "string", "auto|fft|cg|mg.")
+        d(_NUM, "helmholtz solver", "auto", "string",
+          "auto|direct|cg implicit momentum/temperature solves.")
         d(_NUM, "helmholtz tol", "1e-8", "double", "Momentum solve relative tolerance.")
         d(_NUM, "temperature tol", "1e-12", "double", "Temperature CG relative tolerance.")
         d(_NUM, "poisson tol", "1e-8", "double", "Pressure Poisson relative tolerance.")
@@ -313,6 +321,7 @@ class Parameters:
             dtype=prm.get(_NUM, "dtype"),
             use_pallas=None if use_pallas_raw == "auto" else use_pallas_raw == "true",
             poisson_solver=prm.get(_NUM, "poisson solver"),
+            helmholtz_solver=prm.get(_NUM, "helmholtz solver"),
             helmholtz_tol=prm.get_double(_NUM, "helmholtz tol"),
             temperature_tol=prm.get_double(_NUM, "temperature tol"),
             poisson_tol=prm.get_double(_NUM, "poisson tol"),

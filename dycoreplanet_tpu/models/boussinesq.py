@@ -37,6 +37,7 @@ face velocities (MAC-consistent collocated scheme). Everything inside
 
 from __future__ import annotations
 
+import contextlib
 import math
 from functools import partial
 from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
@@ -183,7 +184,8 @@ class BoussinesqModel:
 
         self._setup_bcs()
         self._setup_static_fields()
-        self._jit_step = jax.jit(self._step_impl)
+        self._setup_const_registry()
+        self._jit_step = jax.jit(self._step_consts)
 
     # ------------------------------------------------------------------
     def _setup_bcs(self) -> None:
@@ -358,6 +360,95 @@ class BoussinesqModel:
         self.T_diag = (
             -weak_laplacian_diagonal(geo, self.T_specs_hom)).astype(dt_np)
 
+        # --- direct (non-iterative) Helmholtz solvers for the implicit
+        # momentum and temperature systems (solvers/helmholtz.py).
+        # Measured on TPU v5e at 32x128x256: the mass-dominated Helmholtz
+        # is so well conditioned at the reference configs that Jacobi-CG
+        # converges in a handful of stencil applications (~0.14 ms for
+        # all 3 components) — cheaper than the direct solve's dense
+        # transforms (~0.6 ms). 'auto' therefore keeps CG; 'direct' is
+        # the right choice for stiff regimes (large dt/Re, tiny Peclet)
+        # where CG iteration counts grow but the direct cost is flat.
+        self.helmholtz_direct = None
+        self.temperature_direct = None
+        if params.numerics.helmholtz_solver == "direct":
+            from dycoreplanet_tpu.solvers.helmholtz import make_helmholtz_solver
+
+            self.helmholtz_direct = make_helmholtz_solver(
+                geo, [self.u_specs[c][0] for c in range(geo.dim)],
+                dtype=dt_np, use_pallas=params.numerics.use_pallas)
+            self.temperature_direct = make_helmholtz_solver(
+                geo, [self.T_specs_hom[0]],
+                dtype=dt_np, use_pallas=params.numerics.use_pallas)
+            if (params.numerics.helmholtz_solver == "direct"
+                    and (self.helmholtz_direct is None
+                         or self.temperature_direct is None)):
+                raise ValueError(
+                    "helmholtz solver = direct requires a separable "
+                    "geometry (uniform radial spacing)")
+
+    # ------------------------------------------------------------------
+    # Large-constant hoisting: every big numpy constant on the model and
+    # its solver objects is passed to jit as a DEVICE ARGUMENT instead
+    # of being embedded as an HLO literal. Embedded literals grow the
+    # program linearly with the grid (the per-mode lat eigentransforms
+    # alone are O(nlon/2 * nlat^2)) — at 64x256x512 they exceed the
+    # tunneled remote-compile upload limit outright, and on any platform
+    # they bloat compile time. Arguments are uploaded once and reused.
+    _CONST_MIN_ELEMS = 4096  # smaller arrays stay inline literals
+    # Embedded literals let XLA fold constants into fusions — measured
+    # ~25-35% faster per step at 32x128x256 — so hoisting only pays
+    # above the size where compile cost/limits bite. 128 MB keeps every
+    # reference-matrix config on the fast literal path while unlocking
+    # production grids (64x256x512+) that exceed remote-compile limits.
+    _CONST_HOIST_BYTES = 128 * 1024 * 1024
+
+    def _setup_const_registry(self) -> None:
+        objs = [self]
+        for o in (self.poisson_spectral, self.poisson_precond,
+                  self.helmholtz_direct, self.temperature_direct):
+            if o is not None:
+                objs.append(o)
+        reg = []
+        total = 0
+        for o in objs:
+            for k in sorted(vars(o)):
+                v = vars(o)[k]
+                if isinstance(v, np.ndarray) and v.size >= self._CONST_MIN_ELEMS:
+                    reg.append((o, k))
+                    total += v.nbytes
+        if total < self._CONST_HOIST_BYTES:
+            reg = []  # small model: keep constants as foldable literals
+        self._const_registry = reg
+        self._device_consts = None  # lazily device_put on first use
+
+    def _const_values(self):
+        if self._device_consts is None:
+            self._device_consts = tuple(
+                jax.device_put(getattr(o, k)) for o, k in self._const_registry)
+        return self._device_consts
+
+    @contextlib.contextmanager
+    def _bound_consts(self, values):
+        """Temporarily swap the registered numpy constants for traced
+        values while a jitted body traces."""
+        if values is None:
+            yield
+            return
+        reg = self._const_registry
+        old = [getattr(o, k) for o, k in reg]
+        for (o, k), v in zip(reg, values):
+            setattr(o, k, v)
+        try:
+            yield
+        finally:
+            for (o, k), v in zip(reg, old):
+                setattr(o, k, v)
+
+    def _step_consts(self, state: State, dt, cvals):
+        with self._bound_consts(cvals):
+            return self._step_impl(state, dt)
+
     # ------------------------------------------------------------------
     def _cell_center_coords(self) -> jnp.ndarray:
         """Cartesian coordinates of cell centers, (*cells, dim) — feeds
@@ -513,16 +604,7 @@ class BoussinesqModel:
         rhs_T = vol * T_adv + dt_T * self.one_over_Pe * self.T_lap_offset
 
         kT = dt_T * self.one_over_Pe
-
-        def temp_op(x):
-            return vol * x - kT * st.weak_laplacian(geo, x, self.T_specs_hom)
-
-        diag_T = vol + kT * self.T_diag
-        T_res = cg(temp_op, rhs_T, x0=T,
-                   rtol=p.numerics.temperature_tol,
-                   maxiter=p.numerics.max_cg_iters,
-                   preconditioner=lambda r: r / diag_T)
-        T_new = T_res.x
+        T_new, T_iters, T_rnorm = self._solve_temperature_system(rhs_T, kT, T)
 
         # ---------------- diagnostics ----------------------------------
         speed = st.cell_max_speed(geo, u_new)
@@ -532,9 +614,9 @@ class BoussinesqModel:
         packed = StepDiagnostics.pack(
             cfl, max_vel, jnp.min(T_new), jnp.max(T_new),
             jnp.max(jnp.abs(div_new)),
-            poisson_iters, T_res.iterations, jnp.stack(helm_iters),
+            poisson_iters, T_iters, jnp.stack(helm_iters),
             helmholtz_residual=helm_rnorm, poisson_residual=poisson_rnorm,
-            temperature_residual=T_res.residual_norm)
+            temperature_residual=T_rnorm)
         new_state = State(
             u=u_new, u_faces=tuple(new_faces), p=p_new, T=T_new,
             time=state.time + dt_T,
@@ -558,6 +640,29 @@ class BoussinesqModel:
         return T - dt_T * adv_T
 
     # ------------------------------------------------------------------
+    def _solve_temperature_system(self, rhs_T, kT, x0):
+        """(vol - kT * weak_lap_hom) T = rhs_T, direct when available
+        (reference: temperature CG at 1e-12*rhs, tpp:1426-1440).
+        Returns (T_new, iterations, residual_norm)."""
+        if self.temperature_direct is not None:
+            T_new = self.temperature_direct.solve(rhs_T[None], kT)[0]
+            return (T_new, jnp.asarray(0, jnp.int32),
+                    jnp.asarray(0.0, jnp.float32))
+        geo = self.geo
+        vol = self.vol
+        p = self.params
+
+        def temp_op(x):
+            return vol * x - kT * st.weak_laplacian(geo, x, self.T_specs_hom)
+
+        diag_T = vol + kT * self.T_diag
+        res = cg(temp_op, rhs_T, x0=x0,
+                 rtol=p.numerics.temperature_tol,
+                 maxiter=p.numerics.max_cg_iters,
+                 preconditioner=lambda r: r / diag_T)
+        return res.x, res.iterations, res.residual_norm
+
+    # ------------------------------------------------------------------
     def _solve_momentum_projection(self, rhs_u, pres, dt):
         """Incremental pressure projection (the TPU-native default)."""
         geo = self.geo
@@ -572,19 +677,25 @@ class BoussinesqModel:
         # bigger fused stencils, one set of reductions
         coef = dt * self.one_over_Re
 
-        def helm_op(x):
-            return vol[None] * x - coef * jnp.stack([
-                st.weak_laplacian(geo, x[c], self.u_specs[c])
-                for c in range(dim)
-            ])
+        if self.helmholtz_direct is not None:
+            u_star = self.helmholtz_direct.solve(vol[None] * rhs_u, coef)
+            helm_iters = [jnp.asarray(0, jnp.int32)] * dim
+            helm_rnorm_out = jnp.asarray(0.0, jnp.float32)
+        else:
+            def helm_op(x):
+                return vol[None] * x - coef * jnp.stack([
+                    st.weak_laplacian(geo, x[c], self.u_specs[c])
+                    for c in range(dim)
+                ])
 
-        helm_diag = vol[None] + coef * self.helm_diags
-        helm_res = cg(helm_op, vol[None] * rhs_u, x0=rhs_u,
-                      rtol=p.numerics.helmholtz_tol,
-                      maxiter=p.numerics.max_cg_iters,
-                      preconditioner=lambda r: r / helm_diag)
-        u_star = helm_res.x
-        helm_iters = [helm_res.iterations] * dim
+            helm_diag = vol[None] + coef * self.helm_diags
+            helm_res = cg(helm_op, vol[None] * rhs_u, x0=rhs_u,
+                          rtol=p.numerics.helmholtz_tol,
+                          maxiter=p.numerics.max_cg_iters,
+                          preconditioner=lambda r: r / helm_diag)
+            u_star = helm_res.x
+            helm_iters = [helm_res.iterations] * dim
+            helm_rnorm_out = helm_res.residual_norm
 
         # ---------------- pressure projection --------------------------
         uf_star = [
@@ -636,7 +747,7 @@ class BoussinesqModel:
             p_new = p_new - st.volume_mean(geo, p_new)
 
         return (u_new, p_new, new_faces, helm_iters, poisson_iters,
-                helm_res.residual_norm, poisson_rnorm)
+                helm_rnorm_out, poisson_rnorm)
 
     # ------------------------------------------------------------------
     def _solve_momentum_coupled(self, rhs_u, dt):
@@ -923,7 +1034,7 @@ class BoussinesqModel:
 
         Diagnostics stay on device until a field is read (one packed
         pull) — reading none keeps the step loop fully asynchronous."""
-        new_state, packed = self._jit_step(state, dt)
+        new_state, packed = self._jit_step(state, dt, self._const_values())
         return new_state, StepDiagnostics(packed, self.geo.dim)
 
     # ------------------------------------------------------------------
@@ -945,20 +1056,22 @@ class BoussinesqModel:
         (CFL / extrema / divergence maxima) cost ~0.2 ms/step at
         32x128x256 and XLA dead-code-eliminates them when unused."""
         if not hasattr(self, "_jit_multi_step"):
-            def scan_steps(state, dt, n, collect):
-                def body(s, _):
-                    ns, packed = self._step_impl(s, dt)
-                    return ns, (packed if collect else None)
+            def scan_steps(state, dt, cvals, n, collect):
+                with self._bound_consts(cvals):
+                    def body(s, _):
+                        ns, packed = self._step_impl(s, dt)
+                        return ns, (packed if collect else None)
 
-                if collect:
-                    return jax.lax.scan(body, state, None, length=n)
-                s, _ = jax.lax.scan(body, state, None, length=n - 1)
-                s, packed = self._step_impl(s, dt)
-                return s, packed[None]
+                    if collect:
+                        return jax.lax.scan(body, state, None, length=n)
+                    s, _ = jax.lax.scan(body, state, None, length=n - 1)
+                    s, packed = self._step_impl(s, dt)
+                    return s, packed[None]
 
             self._jit_multi_step = jax.jit(
                 scan_steps, static_argnames=("n", "collect"))
         return self._jit_multi_step(state, jnp.asarray(dt, self.dtype),
+                                    self._const_values(),
                                     n_steps, collect_diagnostics)
 
     # ------------------------------------------------------------------
@@ -977,32 +1090,28 @@ class BoussinesqModel:
         T_adv = self._advected_temperature(state.u, state.u_faces, T, dt_T)
         rhs_T = vol * T_adv + dt_T * self.one_over_Pe * self.T_lap_offset
         kT = dt_T * self.one_over_Pe
-
-        def temp_op(x):
-            return vol * x - kT * st.weak_laplacian(geo, x, self.T_specs_hom)
-
-        diag_T = vol + kT * self.T_diag
-        T_res = cg(temp_op, rhs_T, x0=T,
-                   rtol=p.numerics.temperature_tol,
-                   maxiter=p.numerics.max_cg_iters,
-                   preconditioner=lambda r: r / diag_T)
-        T_new = T_res.x
+        T_new, T_iters, T_rnorm = self._solve_temperature_system(rhs_T, kT, T)
         speed = st.cell_max_speed(geo, state.u)
         packed = StepDiagnostics.pack(
             jnp.max(jnp.maximum(speed, 1e-10) / self.diameter),
             jnp.max(speed), jnp.min(T_new), jnp.max(T_new),
             jnp.max(jnp.abs(st.divergence(geo, list(state.u_faces)))),
-            jnp.asarray(0, jnp.int32), T_res.iterations,
+            jnp.asarray(0, jnp.int32), T_iters,
             jnp.zeros((geo.dim,), jnp.int32),
-            temperature_residual=T_res.residual_norm)
+            temperature_residual=T_rnorm)
         new_state = state._replace(T=T_new, time=state.time + dt_T,
                                    step_number=state.step_number + 1)
         return new_state, packed
 
     def temperature_step(self, state: State, dt: float):
         if not hasattr(self, "_jit_temp_step"):
-            self._jit_temp_step = jax.jit(self._temperature_step_impl)
-        new_state, packed = self._jit_temp_step(state, dt)
+            def temp_consts(state, dt, cvals):
+                with self._bound_consts(cvals):
+                    return self._temperature_step_impl(state, dt)
+
+            self._jit_temp_step = jax.jit(temp_consts)
+        new_state, packed = self._jit_temp_step(state, dt,
+                                                self._const_values())
         return new_state, StepDiagnostics(packed, self.geo.dim)
 
     # ------------------------------------------------------------------

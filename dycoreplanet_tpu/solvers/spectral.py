@@ -107,6 +107,45 @@ class CuboidPoissonDirect:
         return x.astype(b.dtype), jnp.asarray(0, jnp.int32)
 
 
+def shell_lat_eigensystem(geo: Geometry):
+    """(V, lam): per-lon-mode generalized lat eigentransforms
+    S_k V = diag(cos) V Lambda, V^T diag(cos) V = I — shared by EVERY
+    field's weak Laplacian on the shell (pole faces have zero area, so
+    the lat/lon part is field-independent). Cached on the geometry
+    object so the pressure and Helmholtz solvers pay for one host
+    eigendecomposition. f64 numpy, shapes (nm, nlat, nlat), (nm, nlat)."""
+    cached = geo.extras.get("_lat_eigensystem")
+    if cached is not None:
+        return cached
+    nr, nlat, nlon = geo.cell_shape
+    nm = nlon // 2 + 1
+    b = _conductance(geo, 1)[:, :, 0].astype(np.float64)
+    c = _conductance(geo, 2)[:, :, 0].astype(np.float64)
+    cosl = np.cos(np.asarray(geo.axes[1].centers, np.float64))
+    bl = b[0]                                   # (nlat+1,) pole-zeroed
+    gl = c[0]                                   # (nlat,)
+    mu = _mu(nlon, rfft=True)
+
+    T = np.zeros((nlat, nlat))
+    for j in range(nlat):
+        T[j, j] = bl[j] + bl[j + 1]
+        if j > 0:
+            T[j, j - 1] = -bl[j]
+        if j < nlat - 1:
+            T[j, j + 1] = -bl[j + 1]
+    Ms = 1.0 / np.sqrt(cosl)
+    lam = np.zeros((nm, nlat))
+    V = np.zeros((nm, nlat, nlat))
+    for k in range(nm):
+        Sh = Ms[:, None] * (T + np.diag(-gl * mu[k])) * Ms[None, :]
+        w, W = np.linalg.eigh(0.5 * (Sh + Sh.T))
+        lam[k] = w
+        V[k] = Ms[:, None] * W                 # V^T diag(cos) V = I
+    lam = np.maximum(lam, 0.0)
+    geo.extras["_lat_eigensystem"] = (V, lam)
+    return V, lam
+
+
 def _real_dft_pair(n: int, dtype) -> Tuple[np.ndarray, np.ndarray]:
     """(F, G): forward real-DFT matmul matrix (rows = Re then -Im of the
     rfft) and its f64 pseudo-inverse — an exact roundtrip pair."""
@@ -406,30 +445,9 @@ class ShellPoissonDirect:
         nr, nlat, nlon = geo.cell_shape
         self.nm = nlon // 2 + 1
         a = _conductance(geo, 0)[:, :, 0].astype(np.float64)
-        b = _conductance(geo, 1)[:, :, 0].astype(np.float64)
-        c = _conductance(geo, 2)[:, :, 0].astype(np.float64)
         cosl = np.cos(np.asarray(geo.axes[1].centers, np.float64))
         alpha = a[:, 0] / cosl[0]                  # (nr+1,)
-        bl = b[0]                                   # (nlat+1,) pole-zeroed
-        gl = c[0]                                   # (nlat,)
-        mu = _mu(nlon, rfft=True)                   # (nm,) <= 0
-
-        T = np.zeros((nlat, nlat))
-        for j in range(nlat):
-            T[j, j] = bl[j] + bl[j + 1]
-            if j > 0:
-                T[j, j - 1] = -bl[j]
-            if j < nlat - 1:
-                T[j, j + 1] = -bl[j + 1]
-        Ms = 1.0 / np.sqrt(cosl)
-        lam = np.zeros((self.nm, nlat))
-        V = np.zeros((self.nm, nlat, nlat))
-        for k in range(self.nm):
-            Sh = Ms[:, None] * (T + np.diag(-gl * mu[k])) * Ms[None, :]
-            w, W = np.linalg.eigh(0.5 * (Sh + Sh.T))
-            lam[k] = w
-            V[k] = Ms[:, None] * W                 # V^T M V = I
-        lam = np.maximum(lam, 0.0)
+        V, lam = shell_lat_eigensystem(geo)
 
         lower = np.broadcast_to(-alpha[:-1, None, None, None],
                                 (nr, 1, 1, 1)).copy()
@@ -499,31 +517,11 @@ class ShellPoissonFastDiag:
         self.nm = nlon // 2 + 1
         nm = self.nm
         a = _conductance(geo, 0)[:, :, 0].astype(np.float64)
-        b = _conductance(geo, 1)[:, :, 0].astype(np.float64)
-        c = _conductance(geo, 2)[:, :, 0].astype(np.float64)
         cosl = np.cos(np.asarray(geo.axes[1].centers, np.float64))
         alpha = a[:, 0] / cosl[0]                  # (nr+1,)
-        bl = b[0]                                   # (nlat+1,) pole-zeroed
-        gl = c[0]                                   # (nlat,)
-        mu = _mu(nlon, rfft=True)                   # (nm,) <= 0
 
         # --- latitude generalized eigentransforms (per lon mode) ------
-        T = np.zeros((nlat, nlat))
-        for j in range(nlat):
-            T[j, j] = bl[j] + bl[j + 1]
-            if j > 0:
-                T[j, j - 1] = -bl[j]
-            if j < nlat - 1:
-                T[j, j + 1] = -bl[j + 1]
-        Ms = 1.0 / np.sqrt(cosl)
-        lam = np.zeros((nm, nlat))
-        V = np.zeros((nm, nlat, nlat))
-        for k in range(nm):
-            Sh = Ms[:, None] * (T + np.diag(-gl * mu[k])) * Ms[None, :]
-            w, W = np.linalg.eigh(0.5 * (Sh + Sh.T))
-            lam[k] = w
-            V[k] = Ms[:, None] * W                 # V^T M V = I
-        lam = np.maximum(lam, 0.0)
+        V, lam = shell_lat_eigensystem(geo)
 
         # --- radial eigentransform (shared by every mode) --------------
         Tr = (np.diag(alpha[:-1] + alpha[1:])

@@ -44,8 +44,9 @@ def main() -> None:
     mesh = build_mesh(model.geo)
     state = shard_state(model.initial_state(), model.geo, mesh)
     sh = state_sharding(model.geo, mesh)
+    rep = NamedSharding(mesh, P())
     step = jax.jit(model._step_impl,
-                   in_shardings=(sh, NamedSharding(mesh, P())))
+                   in_shardings=(sh, rep), out_shardings=(sh, rep))
     new_state, packed = step(state, np.float32(0.01))
     diag = StepDiagnostics(packed, model.geo.dim)
     print(f"[host {pid}/{jax.process_count()}] {n} global devices, "

@@ -16,20 +16,33 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def chain_timer(fn, x0, n1, n2, reps=1):
-    """Per-application seconds of x -> fn(x) via slope timing."""
+def chain_timer(fn, x0, n1, n2, reps=1, model=None):
+    """Per-application seconds of x -> fn(x) via slope timing.
+
+    When ``model`` is given, its large numpy constants are passed to jit
+    as device arguments (not HLO literals) via the model's constant
+    registry — required above ~2M cells where embedded literals exceed
+    the tunneled remote-compile upload limit."""
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def chain(x, n):
-        def body(i, x):
-            return fn(x)
-        return jax.lax.fori_loop(0, n, body, x)
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("n",))
+    def chain(x, cvals, n):
+        import contextlib
+        ctx = (model._bound_consts(cvals) if model is not None
+               else contextlib.nullcontext())
+        with ctx:
+            def body(i, x):
+                return fn(x)
+            return jax.lax.fori_loop(0, n, body, x)
+
+    cvals = model._const_values() if model is not None else None
 
     def run(n):
         t0 = time.perf_counter()
-        out = chain(x0, n)
+        out = chain(x0, cvals, n)
         # force materialization with one scalar pull
         float(jnp.sum(jax.tree.leaves(out)[0]))
         return time.perf_counter() - t0
@@ -67,7 +80,7 @@ def main():
     state = bench._seed_state(model, model.initial_state())
     # develop the flow so iteration counts are representative
     for _ in range(5):
-        state, _ = model._jit_step(state, dt)
+        state, _ = model._jit_step(state, dt, model._const_values())
     u, u_faces, pres, T = state.u, state.u_faces, state.p, state.T
 
     from dycoreplanet_tpu.ops import stencil as st
@@ -86,7 +99,7 @@ def main():
     def full(s):
         ns, _ = model._step_impl(s, dt)
         return ns
-    stages["full_step"] = chain_timer(full, state, 3, 23)
+    stages["full_step"] = chain_timer(full, state, 3, 23, model=model)
 
     # ---- explicit forcing (advection + coriolis + buoyancy + curv) --
     def forcing(u):
@@ -106,7 +119,7 @@ def main():
             for d in range(dim)])
         f = -adv + cor + buoy + visc - gradp
         return u + eps * f  # feedback keeps the chain alive
-    stages["explicit_forcing"] = chain_timer(forcing, u, 5, 45)
+    stages["explicit_forcing"] = chain_timer(forcing, u, 5, 45, model=model)
 
     # ---- Helmholtz batched CG --------------------------------------
     def helm_op(x):
@@ -122,11 +135,11 @@ def main():
                  maxiter=p.numerics.max_cg_iters,
                  preconditioner=lambda r: r / helm_diag)
         return x + eps * res.x
-    stages["helmholtz_cg"] = chain_timer(helm, u, 5, 25)
+    stages["helmholtz_cg"] = chain_timer(helm, u, 5, 25, model=model)
 
     # one raw Helmholtz operator application (stencil cost unit)
     stages["helm_op_apply"] = chain_timer(
-        lambda x: x + eps * helm_op(x), u, 10, 110)
+        lambda x: x + eps * helm_op(x), u, 10, 110, model=model)
 
     # ---- Poisson (spectral direct or CG) -----------------------------
     uf = [model._apply_wall_face_values(
@@ -139,7 +152,7 @@ def main():
         def pois(r):
             phi, _ = model.poisson_spectral.solve(r)
             return r + eps * phi
-        stages["poisson_spectral"] = chain_timer(pois, rhs0, 5, 45)
+        stages["poisson_spectral"] = chain_timer(pois, rhs0, 5, 45, model=model)
 
     # ---- temperature (advect + CG) -----------------------------------
     kT = dt_T * model.one_over_Pe
@@ -156,7 +169,7 @@ def main():
                  maxiter=p.numerics.max_cg_iters,
                  preconditioner=lambda r: r / diag_T)
         return res.x
-    stages["temperature_solve"] = chain_timer(temp, T, 5, 45)
+    stages["temperature_solve"] = chain_timer(temp, T, 5, 45, model=model)
 
     # ---- projection correction + diagnostics (the rest) --------------
     total = stages["full_step"]

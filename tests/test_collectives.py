@@ -28,8 +28,9 @@ def _compiled_step_text():
     mesh = build_mesh(model.geo)
     state = shard_state(model.initial_state(), model.geo, mesh)
     sh = state_sharding(model.geo, mesh)
+    rep = NamedSharding(mesh, P())
     step = jax.jit(model._step_impl,
-                   in_shardings=(sh, NamedSharding(mesh, P())))
+                   in_shardings=(sh, rep), out_shardings=(sh, rep))
     return step.lower(state, np.float32(0.01)).compile().as_text()
 
 

@@ -67,8 +67,9 @@ def test_single_vs_eight_devices(kind):
     assert int(np.prod(mesh.devices.shape)) == 8
     s8 = shard_state(m.initial_state(), m.geo, mesh)
     sh = state_sharding(m.geo, mesh)
+    rep = NamedSharding(mesh, P())
     step8 = jax.jit(
-        m._step_impl, in_shardings=(sh, NamedSharding(mesh, P())),
+        m._step_impl, in_shardings=(sh, rep), out_shardings=(sh, rep),
     )
     for _ in range(3):
         s8, d8_packed = step8(s8, dt)
