@@ -26,9 +26,7 @@ def chain_timer(fn, x0, n1, n2, reps=1, model=None):
     import jax
     import jax.numpy as jnp
 
-    from functools import partial
-
-    @partial(jax.jit, static_argnames=("n",))
+    @jax.jit
     def chain(x, cvals, n):
         import contextlib
         ctx = (model._bound_consts(cvals) if model is not None
