@@ -106,11 +106,14 @@ class Numerics:
     # regimes where CG iteration counts grow; solvers/helmholtz.py)
     helmholtz_solver: str = "auto"     # auto|direct|cg
     # momentum solve strategy: "projection" (TPU-native incremental
-    # pressure projection, the default) or "coupled" (monolithic
-    # velocity-pressure saddle-point solve like the reference's; then
-    # `use schur complement solver` picks FGMRES-block vs Schur path,
-    # reference: boussinesq_model.tpp:1131-1414)
-    momentum_solver: str = "projection"
+    # pressure projection) or "coupled" (monolithic velocity-pressure
+    # saddle-point solve like the reference's; then `use schur
+    # complement solver` picks FGMRES-block vs Schur path, reference:
+    # boussinesq_model.tpp:1131-1414). "auto" = coupled for FEEC runs
+    # (the reference's FEEC configs always run the monolithic 3x3
+    # block-preconditioned solve, boussineq_model_FEEC.tpp:1268-1477),
+    # projection otherwise.
+    momentum_solver: str = "auto"
     # buoyancy formulation: "perturbation" applies (rho(T)-1) g with the
     # constant-density hydrostatic part absorbed analytically into a
     # background pressure (well-balanced: no discrete spurious currents
@@ -145,6 +148,28 @@ class Numerics:
     nz: int = 0
     # sharding: names of mesh axes and sizes, e.g. "x:2,y:4" ("" = single device)
     mesh_axes: str = ""
+
+    # allowed values per enumerated knob: a typo like 'driect' must fail
+    # loudly instead of silently falling back to another solver path
+    _CHOICES = {
+        "dtype": ("float32", "float64", "bfloat16"),
+        "poisson_solver": ("auto", "fft", "cg", "mg"),
+        "helmholtz_solver": ("auto", "direct", "cg"),
+        "momentum_solver": ("auto", "projection", "coupled"),
+        "buoyancy": ("perturbation", "full"),
+        "advection_scheme": ("muscl", "upwind", "centered"),
+        "temperature_advection": ("eulerian", "semi-lagrangian"),
+        "coriolis_mode": ("reference", "physical"),
+        "projection": ("incremental", "pressure-free"),
+    }
+
+    def __post_init__(self) -> None:
+        for name, allowed in self._CHOICES.items():
+            val = getattr(self, name)
+            if val not in allowed:
+                raise ValueError(
+                    f"Numerics.{name} = {val!r} invalid; "
+                    f"expected one of {allowed}")
 
 
 @dataclass
@@ -246,8 +271,8 @@ class Parameters:
         d(_NUM, "poisson tol", "1e-8", "double", "Pressure Poisson relative tolerance.")
         d(_NUM, "max cg iters", "500", "integer", "CG iteration cap.")
         d(_NUM, "projection", "incremental", "string", "incremental|pressure-free.")
-        d(_NUM, "momentum solver", "projection", "string",
-          "projection|coupled (coupled = monolithic saddle-point solve).")
+        d(_NUM, "momentum solver", "auto", "string",
+          "auto|projection|coupled (auto = coupled for FEEC, else projection).")
         d(_NUM, "buoyancy", "perturbation", "string",
           "perturbation|full (hydrostatic background split on/off).")
         d(_NUM, "advection scheme", "muscl", "string",

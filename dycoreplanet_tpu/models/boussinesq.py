@@ -82,7 +82,14 @@ class StepDiagnostics:
     pull costs seconds of latency regardless of size, so per-field
     device scalars would serialize the run loop (the reference's
     analogue of per-step MPI reductions, boussinesq_model.tpp:1050-1058,
-    1467-1471 — there too one reduction per quantity is the cost model)."""
+    1467-1471 — there too one reduction per quantity is the cost model).
+
+    Sentinel convention: iteration counts and residual norms of -1 mean
+    "direct (non-iterative) solve — not measured". The direct transforms
+    carry ~eps-level round-off rather than a driven-to-zero residual, so
+    reporting 0.0 would claim an exactness that was never checked.
+    (The spectral Poisson path reports its true inner iteration count,
+    which is 0 for the fully-direct annulus/cuboid solvers.)"""
 
     def __init__(self, packed, dim: int):
         self.packed = packed
@@ -181,6 +188,14 @@ class BoussinesqModel:
         self.coriolis_mode = params.numerics.coriolis_mode
         self.advection_form = "rotational" if params.use_FEEC_solver else "advective"
         self.advection_scheme = params.numerics.advection_scheme
+        # 'auto' momentum solve: FEEC runs the monolithic coupled system
+        # like the reference's FEEC configs (the 3x3 w-u-p block solve is
+        # their only NSE path, boussineq_model_FEEC.tpp:1268-1477);
+        # the standard personality defaults to the TPU-native projection
+        ms = params.numerics.momentum_solver
+        if ms == "auto":
+            ms = "coupled" if params.use_FEEC_solver else "projection"
+        self.momentum_solver = ms
 
         self._setup_bcs()
         self._setup_static_fields()
@@ -380,9 +395,7 @@ class BoussinesqModel:
             self.temperature_direct = make_helmholtz_solver(
                 geo, [self.T_specs_hom[0]],
                 dtype=dt_np, use_pallas=params.numerics.use_pallas)
-            if (params.numerics.helmholtz_solver == "direct"
-                    and (self.helmholtz_direct is None
-                         or self.temperature_direct is None)):
+            if self.helmholtz_direct is None or self.temperature_direct is None:
                 raise ValueError(
                     "helmholtz solver = direct requires a separable "
                     "geometry (uniform radial spacing)")
@@ -575,7 +588,7 @@ class BoussinesqModel:
 
         rhs_u = u + dt * forcing
 
-        if p.numerics.momentum_solver == "coupled":
+        if self.momentum_solver == "coupled":
             # monolithic saddle-point solve (reference parity path);
             # the FEEC personality gets the reference's 3x3
             # vorticity-velocity-pressure block system (SURVEY §3.5)
@@ -646,8 +659,8 @@ class BoussinesqModel:
         Returns (T_new, iterations, residual_norm)."""
         if self.temperature_direct is not None:
             T_new = self.temperature_direct.solve(rhs_T[None], kT)[0]
-            return (T_new, jnp.asarray(0, jnp.int32),
-                    jnp.asarray(0.0, jnp.float32))
+            return (T_new, jnp.asarray(-1, jnp.int32),
+                    jnp.asarray(-1.0, jnp.float32))  # -1 = direct solve
         geo = self.geo
         vol = self.vol
         p = self.params
@@ -679,8 +692,8 @@ class BoussinesqModel:
 
         if self.helmholtz_direct is not None:
             u_star = self.helmholtz_direct.solve(vol[None] * rhs_u, coef)
-            helm_iters = [jnp.asarray(0, jnp.int32)] * dim
-            helm_rnorm_out = jnp.asarray(0.0, jnp.float32)
+            helm_iters = [jnp.asarray(-1, jnp.int32)] * dim  # -1 = direct
+            helm_rnorm_out = jnp.asarray(-1.0, jnp.float32)
         else:
             def helm_op(x):
                 return vol[None] * x - coef * jnp.stack([
@@ -715,7 +728,7 @@ class BoussinesqModel:
         rhs_phi = rhs_phi - jnp.mean(rhs_phi)
         if self.poisson_spectral is not None:
             phi, poisson_iters = self.poisson_spectral.solve(rhs_phi)
-            poisson_rnorm = jnp.asarray(0.0, jnp.float32)  # direct/spectral
+            poisson_rnorm = jnp.asarray(-1.0, jnp.float32)  # direct/spectral
         else:
             precond = (self.poisson_precond if self.poisson_precond is not None
                        else (lambda r: r / self.poisson_diag))

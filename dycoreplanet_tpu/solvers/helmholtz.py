@@ -221,7 +221,11 @@ class CuboidHelmholtzDirect:
         self.geo = geo
         nz, ny, nx = geo.cell_shape
         vol = np.broadcast_to(np.asarray(geo.vol, np.float64), geo.cell_shape)
-        assert np.allclose(vol, vol.flat[0])
+        if not np.allclose(vol, vol.flat[0]):
+            # non-constant cell volume breaks the fast diagonalization;
+            # ValueError (not assert) so the factory can report it cleanly
+            raise ValueError(
+                "cuboid direct Helmholtz requires uniform cell volume")
         self._vol = float(vol.flat[0])
 
         alpha = _conductance_full(geo, 0)[:, 0, 0]     # (nz+1,)
@@ -270,17 +274,16 @@ def make_helmholtz_solver(geo: Geometry, wall_specs: Sequence[BCSpec],
                           dtype=jnp.float32,
                           use_pallas: Optional[bool] = None):
     """Direct Helmholtz solver for a stack of fields whose axis-0
-    (radial/z) wall BCSpecs are ``wall_specs``; None if the geometry
-    does not admit one (non-uniform radial shell spacing)."""
-    try:
-        if geo.kind == "cuboid":
-            return CuboidHelmholtzDirect(geo, wall_specs, dtype=dtype)
-        if geo.kind == "annulus":
-            return AnnulusHelmholtzDirect(geo, wall_specs, dtype=dtype,
-                                          use_pallas=use_pallas)
-        if geo.kind == "shell" and _uniform_radial(geo):
-            return ShellHelmholtzDirect(geo, wall_specs, dtype=dtype,
-                                        use_pallas=use_pallas)
-    except ValueError:
-        return None
+    (radial/z) wall BCSpecs are ``wall_specs``; None only when the
+    geometry does not admit one (non-uniform radial shell spacing).
+    Unsupported wall rules / non-uniform cell volumes raise ValueError
+    with their own message rather than silently degrading to None."""
+    if geo.kind == "cuboid":
+        return CuboidHelmholtzDirect(geo, wall_specs, dtype=dtype)
+    if geo.kind == "annulus":
+        return AnnulusHelmholtzDirect(geo, wall_specs, dtype=dtype,
+                                      use_pallas=use_pallas)
+    if geo.kind == "shell" and _uniform_radial(geo):
+        return ShellHelmholtzDirect(geo, wall_specs, dtype=dtype,
+                                    use_pallas=use_pallas)
     return None

@@ -40,12 +40,16 @@ def test_hoisted_consts_match_literals(monkeypatch):
     s_lit = m_lit.initial_state()
     s_arg = m_arg.initial_state()
     dt = 0.01
+    # embedded literals can change XLA constant folding/fusion, so the
+    # two paths need not be bit-identical on every backend — compare at
+    # a tight f64 tolerance instead of exact equality
+    tol = dict(rtol=1e-13, atol=1e-15)
     for _ in range(2):
         s_lit, _ = m_lit.step(s_lit, dt)
         s_arg, _ = m_arg.step(s_arg, dt)
-    np.testing.assert_array_equal(np.asarray(s_lit.u), np.asarray(s_arg.u))
-    np.testing.assert_array_equal(np.asarray(s_lit.T), np.asarray(s_arg.T))
-    np.testing.assert_array_equal(np.asarray(s_lit.p), np.asarray(s_arg.p))
+    np.testing.assert_allclose(np.asarray(s_lit.u), np.asarray(s_arg.u), **tol)
+    np.testing.assert_allclose(np.asarray(s_lit.T), np.asarray(s_arg.T), **tol)
+    np.testing.assert_allclose(np.asarray(s_lit.p), np.asarray(s_arg.p), **tol)
 
     # binding must restore the numpy constants after tracing
     assert isinstance(m_arg.vol, np.ndarray)
@@ -53,4 +57,4 @@ def test_hoisted_consts_match_literals(monkeypatch):
     # multi_step path too
     r_lit, _ = m_lit.multi_step(s_lit, dt, 2, collect_diagnostics=False)
     r_arg, _ = m_arg.multi_step(s_arg, dt, 2, collect_diagnostics=False)
-    np.testing.assert_array_equal(np.asarray(r_lit.u), np.asarray(r_arg.u))
+    np.testing.assert_allclose(np.asarray(r_lit.u), np.asarray(r_arg.u), **tol)
