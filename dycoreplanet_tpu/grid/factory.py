@@ -53,9 +53,18 @@ def _periodic_axis(name: str, lo: float, hi: float, n: int) -> Axis:
 # ----------------------------------------------------------------------
 # cuboid (z, y, x): unit cube scaled by 1/L_ref; periodic x,y; walls z
 # ----------------------------------------------------------------------
-def make_cuboid(nz: int, ny: int, nx: int, length_ref: float = 1.0) -> Geometry:
+def make_cuboid(nz: int, ny: int, nx: int, length_ref: float = 1.0,
+                periodic_z: bool = False) -> Geometry:
+    """Periodic-x/y unit cuboid with z walls (the reference domain,
+    planet_geometry.tpp:29-57). ``periodic_z=True`` makes the domain
+    fully periodic — no reference analogue; used by the manufactured-
+    solution validation suite (exact Taylor-Green flows need a
+    boundary-free domain)."""
     L = 1.0 / length_ref
-    az = _wall_axis("z", 0.0, L, nz)
+    if periodic_z:
+        az = _periodic_axis("z", 0.0, L, nz)
+    else:
+        az = _wall_axis("z", 0.0, L, nz)
     ay = _periodic_axis("y", 0.0, L, ny)
     ax = _periodic_axis("x", 0.0, L, nx)
     dz, dy, dx = L / nz, L / ny, L / nx
@@ -68,7 +77,8 @@ def make_cuboid(nz: int, ny: int, nx: int, length_ref: float = 1.0) -> Geometry:
     )
     # face distances: interior dz; wall faces ghost-mirror distance dz
     # (center to wall = dz/2, mirror distance = dz)
-    dist_z = np.full((nz + 1, 1, 1), dz)
+    dist_z = (np.full((1, 1, 1), dz) if periodic_z
+              else np.full((nz + 1, 1, 1), dz))
     dist = (dist_z, np.full((1, 1, 1), dy), np.full((1, 1, 1), dx))
     extras = {
         "z_centers": az.centers.reshape(-1, 1, 1),

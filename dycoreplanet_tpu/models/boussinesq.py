@@ -210,7 +210,13 @@ class BoussinesqModel:
         geo = self.geo
         dim = geo.dim
         AS, NEU = BC.ANTISYM, BC.NEUMANN
-        if geo.kind == "cuboid":
+        if geo.kind == "cuboid" and geo.axes[0].periodic:
+            # fully periodic validation domain (no reference analogue;
+            # make_cuboid(periodic_z=True)): no walls anywhere
+            self.u_specs = [[None] * 3 for _ in range(3)]
+            self.p_specs = [None, None, None]
+            self.T_wall_axis, self.T_wall_end = None, None
+        elif geo.kind == "cuboid":
             # z walls: bottom no-slip (all comps), top w=0 + free-slip
             self.u_specs = [
                 [BCSpec(AS, AS), None, None],        # w (normal to z)
@@ -313,15 +319,19 @@ class BoussinesqModel:
                 ic = TemperatureInitialValues(geo.dim, r0, r1)
             self.T_init = np.asarray(ic(centers), dtype=dt_np)
             # boundary values: IC evaluated on the inner/bottom wall surface
-            wall_pts = self._wall_coords(self.T_wall_axis, self.T_wall_end)
-            T_wall = np.asarray(ic(wall_pts), dtype=dt_np)
+            if self.T_wall_axis is not None:
+                wall_pts = self._wall_coords(self.T_wall_axis, self.T_wall_end)
+                T_wall = np.asarray(ic(wall_pts), dtype=dt_np)
         T_mean0 = float((self.T_init * self.vol).sum() / self.vol.sum())
         self.rho_background = float(
             1.0 - self.beta * (T_mean0 - self.T_ref))
         self.p_hydro = (self.rho_background * self.p_hydro).astype(dt_np)
         # T boundary specs: Dirichlet at the wall, Neumann/pole elsewhere
         NEU = BC.NEUMANN
-        if geo.kind == "shell":
+        if self.T_wall_axis is None:  # fully periodic domain
+            self.T_specs = [None] * geo.dim
+            self.T_specs_hom = [None] * geo.dim
+        elif geo.kind == "shell":
             self.T_specs = [BCSpec(BC.DIRICHLET, NEU, lo_value=T_wall),
                             BCSpec(BC.POLE, BC.POLE), None]
             self.T_specs_hom = [BCSpec(BC.ANTISYM, NEU),

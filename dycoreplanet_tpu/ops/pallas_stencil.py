@@ -1,0 +1,436 @@
+"""Fused Pallas TPU kernel for the shell explicit-forcing hot path.
+
+The reference's hot loop is the per-quadrature-point assembly of the
+explicit momentum RHS (advection + buoyancy + Coriolis, reference:
+boussinesq_model.tpp:550-673). Our jnp stencil path expresses the same
+physics as ~15 separate XLA fusions (each pad/concat materializes a
+full-field copy; measured 0.31 ms of the 0.89 ms step at 32x128x256 on
+TPU v5e). This kernel fuses the ENTIRE explicit stage —
+
+    rhs_u = u + dt * ( -(advect(u) + curvature(u)) + coriolis(u)
+                       + buoyancy(T) + visc_curvature(u)/Re - grad p )
+
+— into one pass: each grid step streams a radial block of all fields
+HBM->VMEM, reconstructs every ghost value on-chip (longitude rolls for
+the periodic axis, half-turn rolls of the boundary rings for the lat
+pole closure, precomputed halo rows for the radial block seams and
+walls), and writes the three RHS components once.
+
+Design notes (why this shape):
+  * grid over RADIAL BLOCKS — lat/lon stay whole inside a block, so the
+    pole rule (ghost = value at lon + pi, sign-flipped for tangential
+    vector components) and the periodic lon stencils are block-local
+    rolls with no inter-block communication;
+  * radial halos (2 rows each side, MUSCL needs 2 ghosts) are gathered
+    by cheap XLA row-slices into a (n_blocks, C, 4, nlat, nlon) array
+    consumed with a standard BlockSpec — no manual DMA, so Mosaic
+    double-buffers and overlaps the halo loads with compute;
+  * wall BC ghosts (antisym velocity / Neumann pressure) are folded
+    into the same halo array, making the kernel branch-free;
+  * metric terms enter as a (K, nr, nlat) channel stack (r- and
+    lat-dependent only — the shell metric is lon-invariant) blocked
+    along r, plus tiny lat-only closure constants.
+
+The jnp ops in ops/stencil.py / ops/vector.py remain the correctness
+oracle; tests/test_pallas_stencil.py pins equivalence in interpret mode.
+The sharded (multi-chip) path keeps the jnp ops — GSPMD cannot see
+through a pallas_call, so the fused kernel engages on single-device
+runs only (the bench configuration).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dycoreplanet_tpu.grid.geometry import Geometry
+from dycoreplanet_tpu.ops.bc import BC
+
+
+def supports_pallas() -> bool:
+    """True on platforms whose Mosaic path works (real TPU and the
+    axon tunnel — verified to run Pallas kernels correctly)."""
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except RuntimeError:
+        return False
+
+
+def _van_leer(a, b):
+    ab = a * b
+    return jnp.where(ab > 0, 2.0 * ab / (a + b), jnp.zeros_like(a))
+
+
+def _muscl_faces(p2, uf, axis, n_faces, scheme):
+    """L/R-limited upwind face values from a 2-ghost padded array along
+    ``axis``; identical indexing to ops.stencil._muscl_LR."""
+    sl = lambda a, s: a[tuple([slice(None)] * axis + [s])]
+    if scheme == "muscl":
+        diff = sl(p2, slice(1, None)) - sl(p2, slice(0, -1))
+        slope = _van_leer(sl(diff, slice(0, n_faces + 1)),
+                          sl(diff, slice(1, n_faces + 2)))
+        L = sl(p2, slice(1, n_faces + 1)) + 0.5 * sl(slope, slice(0, n_faces))
+        R = sl(p2, slice(2, n_faces + 2)) - 0.5 * sl(slope, slice(1, n_faces + 1))
+    elif scheme == "upwind":
+        L = sl(p2, slice(1, n_faces + 1))
+        R = sl(p2, slice(2, n_faces + 2))
+    elif scheme == "centered":
+        lo = sl(p2, slice(1, n_faces + 1))
+        hi = sl(p2, slice(2, n_faces + 2))
+        return 0.5 * (lo + hi)
+    else:  # pragma: no cover
+        raise ValueError(scheme)
+    return jnp.where(uf > 0, L, R)
+
+
+class ShellForcingPallas:
+    """Callable (u, u_faces, T, p, dt) -> rhs_u for the shell standard
+    (advective-form) personality."""
+
+    # radial wall ghost signs per channel [u_r, u_lat, u_lon, p]
+    # (ANTISYM = -1, NEUMANN = +1; reference BC set
+    #  boussinesq_model.tpp:308-330 -> ghost rules in ops/bc.py)
+    _LO_SIGN = np.array([-1.0, -1.0, -1.0, 1.0])
+    _HI_SIGN = np.array([-1.0, 1.0, 1.0, 1.0])
+    # pole ghost signs per channel (POLE = +1, POLE_FLIP = -1)
+    _POLE_SIGN = np.array([1.0, -1.0, -1.0, 1.0])
+
+    def __init__(self, geo: Geometry, *, dtype=np.float32,
+                 beta: float, T_ref: float, rho_background: float,
+                 gravity_r: np.ndarray, one_over_Re: float,
+                 omega_hat: float, coriolis_mode: str,
+                 buoyancy: str, scheme: str, include_gradp: bool,
+                 block_rows: Optional[int] = None,
+                 interpret: bool = False):
+        assert geo.kind == "shell"
+        self.geo = geo
+        nr, nlat, nlon = geo.cell_shape
+        self.shape = (nr, nlat, nlon)
+        if block_rows is None:
+            block_rows = next(b for b in (8, 4, 2, 1) if nr % b == 0)
+        assert nr % block_rows == 0
+        self.blk = block_rows
+        self.nb = nr // block_rows
+        self.interpret = interpret
+        self.scheme = scheme
+        self.coriolis_mode = coriolis_mode
+        self.buoyancy = buoyancy
+        self.include_gradp = include_gradp
+        f = lambda a: np.asarray(a, dtype=dtype)
+
+        # ---- static scalars -----------------------------------------
+        self.s_beta = float(beta)
+        self.s_Tref = float(T_ref)
+        self.s_rho_bg = float(rho_background)
+        self.s_iRe = float(one_over_Re)
+        self.s_omega = float(omega_hat)
+        self.dr = float(np.asarray(geo.face_dist[0]).flat[0])
+        self.dlat = float(np.pi / nlat)
+
+        # ---- metric channel stack (K, nr, nlat) ----------------------
+        b2 = lambda a: np.broadcast_to(np.asarray(a, np.float64)[..., 0],
+                                       (nr, nlat))
+        area_r = np.broadcast_to(np.asarray(geo.face_area[0], np.float64),
+                                 (nr + 1, nlat, 1))[..., 0]
+        area_lat = np.broadcast_to(np.asarray(geo.face_area[1], np.float64),
+                                   (nr, nlat + 1, 1))[..., 0]
+        rc = np.broadcast_to(geo.extras["r_centers"], (nr, nlat, 1))[..., 0]
+        gr = np.broadcast_to(np.asarray(gravity_r, np.float64).reshape(
+            gravity_r.shape), (nr,) + gravity_r.shape[1:])
+        gr2 = np.broadcast_to(np.asarray(gravity_r, np.float64),
+                              (nr, nlat, 1))[..., 0]
+        cosl = np.cos(np.asarray(geo.axes[1].centers, np.float64))
+        dlon = 2.0 * np.pi / nlon
+        self.M = f(np.stack([
+            b2(geo.vol),                       # 0 vol
+            area_r[:nr],                       # 1 ar_lo
+            area_r[1:],                        # 2 ar_hi
+            area_lat[:, :nlat],                # 3 alat_lo
+            area_lat[:, 1:],                   # 4 alat_hi (pole row = 0)
+            b2(geo.face_area[2]),              # 5 alon
+            rc * cosl[None, :] * dlon,         # 6 dist_lon
+            rc,                                # 7 r_c
+            gr2,                               # 8 g_r
+        ]))
+        self.K = self.M.shape[0]
+
+        # ---- lat-only closure constants ------------------------------
+        latc = np.asarray(geo.axes[1].centers, np.float64)
+        self.c_cos = f(cosl.reshape(1, nlat, 1))
+        self.c_tan = f(np.tan(latc).reshape(1, nlat, 1))
+        self.c_sin = f(np.sin(latc).reshape(1, nlat, 1))
+        self._kernel_cache = {}
+
+    # ------------------------------------------------------------------
+    def _radial_halos(self, ch: jnp.ndarray) -> jnp.ndarray:
+        """(nb, 4, 4, nlat, nlon) halo rows for the channel stack
+        [u_r, u_lat, u_lon, p]: rows 0:2 = the two cells (or wall
+        ghosts) below the block, rows 2:4 = the two above. Matches the
+        global pad_axis + _widen_to_2ghosts layout (outermost ghost
+        replicated) exactly."""
+        blk, nb = self.blk, self.nb
+        lo_s = jnp.asarray(self._LO_SIGN, ch.dtype).reshape(4, 1, 1, 1)
+        hi_s = jnp.asarray(self._HI_SIGN, ch.dtype).reshape(4, 1, 1, 1)
+        g_lo = lo_s * ch[:, 0:1]          # (4, 1, nlat, nlon)
+        g_hi = hi_s * ch[:, -1:]
+        halos = []
+        for i in range(nb):
+            top = (jnp.concatenate([g_lo, g_lo], axis=1) if i == 0
+                   else ch[:, i * blk - 2:i * blk])
+            bot = (jnp.concatenate([g_hi, g_hi], axis=1) if i == nb - 1
+                   else ch[:, (i + 1) * blk:(i + 1) * blk + 2])
+            halos.append(jnp.concatenate([top, bot], axis=1))
+        return jnp.stack(halos)
+
+    def _f0_halo(self, f0: jnp.ndarray) -> jnp.ndarray:
+        """(nb, 1, nlat, nlon): the radial face value at each block's
+        upper seam (zero past the outer wall — the implicit hi-wall
+        face of the cell-shaped staggered layout)."""
+        blk, nb = self.blk, self.nb
+        rows = [f0[(i + 1) * blk:(i + 1) * blk + 1] for i in range(nb - 1)]
+        rows.append(jnp.zeros_like(f0[:1]))
+        return jnp.stack(rows)
+
+    # ------------------------------------------------------------------
+    def __call__(self, u, u_faces, T, pres, dt):
+        nr, nlat, nlon = self.shape
+        blk, nb = self.blk, self.nb
+        dtype = u.dtype
+        ch = jnp.concatenate([u, pres[None]], axis=0)  # (4, nr, nlat, nlon)
+        H = self._radial_halos(ch)
+        f0h = self._f0_halo(u_faces[0])
+        dt_arr = jnp.asarray(dt, dtype).reshape(1, 1)
+
+        key = (dtype.name,)
+        call = self._kernel_cache.get(key)
+        if call is None:
+            call = self._build_call(dtype)
+            self._kernel_cache[key] = call
+        return call(dt_arr, ch, H, u_faces[0], f0h, u_faces[1], u_faces[2],
+                    T, jnp.asarray(self.M, dtype))
+
+    # ------------------------------------------------------------------
+    def _build_call(self, dtype):
+        nr, nlat, nlon = self.shape
+        blk, nb = self.blk, self.nb
+        K = self.K
+        scheme = self.scheme
+        dr, dlat = self.dr, self.dlat
+        cosl = jnp.asarray(self.c_cos)      # (1, nlat, 1)
+        tanl = jnp.asarray(self.c_tan)
+        sinl = jnp.asarray(self.c_sin)
+        pole_s = jnp.asarray(self._POLE_SIGN[:3]).reshape(3, 1, 1, 1)
+        beta, T_ref, rho_bg = self.s_beta, self.s_Tref, self.s_rho_bg
+        iRe, omega = self.s_iRe, self.s_omega
+        coriolis_mode, buoyancy = self.coriolis_mode, self.buoyancy
+        include_gradp = self.include_gradp
+        half = nlon // 2
+
+        def pole_pad2(x, sgn):
+            """lat axis is the second-to-last: add 2 pole ghosts each
+            side (outermost replicated, like _widen_to_2ghosts)."""
+            g_lo = sgn * jnp.roll(x[..., 0:1, :], half, axis=-1)
+            g_hi = sgn * jnp.roll(x[..., -1:, :], half, axis=-1)
+            p1 = jnp.concatenate([g_lo, x, g_hi], axis=-2)
+            return jnp.concatenate(
+                [p1[..., 0:1, :], p1, p1[..., -1:, :]], axis=-2)
+
+        def pole_pad1(x, sgn):
+            g_lo = sgn * jnp.roll(x[..., 0:1, :], half, axis=-1)
+            g_hi = sgn * jnp.roll(x[..., -1:, :], half, axis=-1)
+            return jnp.concatenate([g_lo, x, g_hi], axis=-2)
+
+        def kernel(dt_ref, ch_ref, H_ref, f0_ref, f0h_ref, f1_ref, f2_ref,
+                   T_ref_, M_ref, out_ref):
+            dt = dt_ref[0, 0]
+            ch = ch_ref[:]                       # (4, blk, nlat, nlon)
+            H = H_ref[0]                         # (4, 4, nlat, nlon)
+            u3 = ch[:3]
+            f0, f1, f2 = f0_ref[:], f1_ref[:], f2_ref[:]
+            Tb = T_ref_[:]
+            M = M_ref[:]                         # (K, blk, nlat)
+            m = lambda k: M[k][:, :, None]       # (blk, nlat, 1)
+            vol, ar_lo, ar_hi = m(0), m(1), m(2)
+            alat_lo = m(3)
+            alon, dist_lon, r_c, g_r = m(5), m(6), m(7), m(8)
+
+            # ---------- radial (axis 0 of block) ----------------------
+            p2r = jnp.concatenate([H[:, :2], ch, H[:, 2:]], axis=1)
+            # MUSCL face values for blk+1 radial faces (incl. the upper
+            # seam face, consumed by the shifted flux)
+            f0_ext = jnp.concatenate([f0, f0h_ref[0]], axis=0)
+            fv_r = _muscl_faces(p2r[:3], f0_ext[None], 1, blk + 1, scheme)
+            ar_ext = jnp.concatenate([ar_lo, ar_hi[-1:]], axis=0)
+            aq_r = ar_ext * f0_ext[None] * fv_r
+            adv_r = aq_r[:, 1:] - aq_r[:, :-1]
+            dq_r = ar_ext * f0_ext
+            div_r = dq_r[1:] - dq_r[:-1]
+
+            # ---------- latitude (axis 1 of block slabs) ---------------
+            p2l = pole_pad2(u3, pole_s)
+            fv_l = _muscl_faces(p2l, f1[None], 2, nlat, scheme)
+            aq_l = alat_lo * f1[None] * fv_l
+            zrow = jnp.zeros_like(aq_l[..., :1, :])
+            adv_l = jnp.concatenate([aq_l[..., 1:, :], zrow], axis=2) - aq_l
+            dq_l = alat_lo * f1
+            div_l = (jnp.concatenate([dq_l[..., 1:, :], zrow[0]], axis=1)
+                     - dq_l)
+
+            # ---------- longitude (periodic rolls) ---------------------
+            if scheme == "muscl":
+                d_m = u3 - jnp.roll(u3, 1, axis=3)
+                d_p = jnp.roll(u3, -1, axis=3) - u3
+                slope = _van_leer(d_m, d_p)
+                L = jnp.roll(u3, 1, axis=3) + 0.5 * jnp.roll(slope, 1, axis=3)
+                R = u3 - 0.5 * slope
+                fv_o = jnp.where(f2[None] > 0, L, R)
+            elif scheme == "upwind":
+                fv_o = jnp.where(f2[None] > 0, jnp.roll(u3, 1, axis=3), u3)
+            else:
+                fv_o = 0.5 * (jnp.roll(u3, 1, axis=3) + u3)
+            aq_o = alon * f2[None] * fv_o
+            adv_o = jnp.roll(aq_o, -1, axis=3) - aq_o
+            dq_o = alon * f2
+            div_o = jnp.roll(dq_o, -1, axis=2 + 1 - 1) - dq_o  # lon axis = 2
+            # NOTE: dq_o has rank 3 (blk, nlat, nlon) -> lon axis is 2
+
+            div_u = (div_r + div_l + div_o) / vol
+            adv = (adv_r + adv_l + adv_o) / vol - u3 * div_u[None]
+
+            # ---------- curvature of (u.grad)u -------------------------
+            ur, ul, up = u3[0], u3[1], u3[2]
+            adv = adv + jnp.stack([
+                -(ul * ul + up * up) / r_c,
+                ur * ul / r_c + up * up * tanl / r_c,
+                ur * up / r_c - ul * up * tanl / r_c,
+            ])
+
+            # ---------- Coriolis ---------------------------------------
+            if coriolis_mode == "physical":
+                om_r = omega * sinl
+                om_l = omega * cosl
+                cor = jnp.stack([
+                    2.0 * om_l * up,
+                    -2.0 * om_r * up,
+                    2.0 * (om_r * ul - om_l * ur),
+                ])
+            else:  # reference: no Coriolis in the 3D shell standard path
+                cor = jnp.zeros_like(u3)
+
+            # ---------- buoyancy ---------------------------------------
+            rho = 1.0 - beta * (Tb - T_ref)
+            if buoyancy == "perturbation":
+                buoy_r = (rho - rho_bg) * g_r
+            else:
+                buoy_r = rho * g_r
+            zero = jnp.zeros_like(buoy_r)
+            buoy = jnp.stack([buoy_r, zero, zero])
+
+            # ---------- viscous curvature corrections ------------------
+            # physical angular derivatives: (pad[j+2]-pad[j]) / (2 r dlat)
+            pl_u = pole_pad1(u3, pole_s)
+            dlat = lambda c: ((pl_u[c, :, 2:, :] - pl_u[c, :, :-2, :])
+                              / (2.0 * r_c * self.dlat))
+            dlon = lambda c: ((jnp.roll(u3[c], -1, axis=2)
+                               - jnp.roll(u3[c], 1, axis=2))
+                              / (2.0 * dist_lon))
+            dlat_ur, dlat_ul = dlat(0), dlat(1)
+            dlon_ur, dlon_ul, dlon_up = dlon(0), dlon(1), dlon(2)
+            rcos2 = (r_c * cosl) ** 2
+            visc = iRe * jnp.stack([
+                -2.0 * ur / r_c**2
+                - 2.0 / r_c * (dlat_ul - ul * tanl / r_c + dlon_up),
+                2.0 / r_c * dlat_ur - ul / rcos2
+                + 2.0 * tanl / r_c * dlon_up,
+                2.0 / r_c * dlon_ur - 2.0 * tanl / r_c * dlon_ul
+                - up / rcos2,
+            ])
+
+            forcing = -adv + cor + buoy + visc
+
+            # ---------- pressure gradient ------------------------------
+            if include_gradp:
+                ppr = p2r[3, 1:blk + 3]          # p with +-1 radial ghosts
+                gp_r = (ppr[2:] - ppr[:-2]) / (2.0 * dr)
+                ppl = pole_pad1(ch[3][None], 1.0)[0]
+                gp_l = (ppl[:, 2:, :] - ppl[:, :-2, :]) / (2.0 * r_c * dlat)
+                gp_o = (jnp.roll(ch[3], -1, axis=2)
+                        - jnp.roll(ch[3], 1, axis=2)) / (2.0 * dist_lon)
+                forcing = forcing - jnp.stack([gp_r, gp_l, gp_o])
+
+            out_ref[:] = u3 + dt * forcing
+
+        bspec = lambda shape, imap: pl.BlockSpec(shape, imap,
+                                                 memory_space=pltpu.VMEM)
+        grid_spec = pl.GridSpec(
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),          # dt
+                bspec((4, blk, nlat, nlon), lambda i: (0, i, 0, 0)),   # ch
+                bspec((1, 4, 4, nlat, nlon),
+                      lambda i: (i, 0, 0, 0, 0)),                # halos
+                bspec((blk, nlat, nlon), lambda i: (i, 0, 0)),   # f0
+                bspec((1, 1, nlat, nlon), lambda i: (i, 0, 0, 0)),  # f0 halo
+                bspec((blk, nlat, nlon), lambda i: (i, 0, 0)),   # f1
+                bspec((blk, nlat, nlon), lambda i: (i, 0, 0)),   # f2
+                bspec((blk, nlat, nlon), lambda i: (i, 0, 0)),   # T
+                bspec((K, blk, nlat), lambda i: (0, i, 0)),      # metrics
+            ],
+            out_specs=bspec((3, blk, nlat, nlon), lambda i: (0, i, 0, 0)),
+        )
+
+        def call(dt_arr, ch, H, f0, f0h, f1, f2, T, M):
+            return pl.pallas_call(
+                kernel,
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((3, nr, nlat, nlon), dtype),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+                interpret=self.interpret,
+            )(dt_arr, ch, H, f0, f0h, f1, f2, T, M)
+
+        return call
+
+
+def make_shell_forcing(geo: Geometry, model, *, interpret: bool = False,
+                       use_pallas: Optional[bool] = None):
+    """Factory gating the fused kernel to supported configurations;
+    returns None when the jnp path should be used."""
+    if geo.kind != "shell":
+        return None
+    if model.advection_form != "advective":
+        return None  # FEEC rotational form keeps the jnp path (for now)
+    if model.params.numerics.temperature_advection != "eulerian":
+        pass  # temperature path is independent of this kernel
+    nr, nlat, nlon = geo.cell_shape
+    if use_pallas is None:
+        from dycoreplanet_tpu.ops import pallas_kernels
+
+        ov = pallas_kernels._use_pallas_override
+        use_pallas = ov if ov is not None else supports_pallas()
+    if not use_pallas and not interpret:
+        return None
+    if not interpret and (nlon % 128 != 0 or nlat % 8 != 0):
+        return None  # sub-tile shapes: not worth engaging Mosaic
+    # uniform radial spacing is a factory invariant for the shell; the
+    # kernel additionally assumes the gravity field is radial-only
+    include_gradp = model.params.numerics.projection == "incremental"
+    return ShellForcingPallas(
+        geo, dtype=model.dtype,
+        beta=model.beta, T_ref=model.T_ref,
+        rho_background=model.rho_background,
+        gravity_r=np.asarray(model.gravity[0]),
+        one_over_Re=model.one_over_Re,
+        omega_hat=model.omega_hat,
+        coriolis_mode=model.coriolis_mode,
+        buoyancy=model.params.numerics.buoyancy,
+        scheme=model.advection_scheme,
+        include_gradp=include_gradp,
+        interpret=interpret,
+    )

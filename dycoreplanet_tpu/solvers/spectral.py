@@ -185,7 +185,6 @@ class CuboidPoissonFastDiag:
         assert geo.kind == "cuboid"
         self.geo = geo
         nz, ny, nx = geo.cell_shape
-        az = _conductance(geo, 0)[:, 0, 0].astype(np.float64)   # (nz+1,)
         cy = float(_conductance(geo, 1)[0, 0, 0])
         cx = float(_conductance(geo, 2)[0, 0, 0])
         mu_y = _mu(ny, rfft=True)                    # (ny//2+1,)
@@ -193,9 +192,20 @@ class CuboidPoissonFastDiag:
         self.nmy = ny // 2 + 1
         self.nmx = nx // 2 + 1
 
-        Tz = (np.diag(az[:-1] + az[1:])
-              - np.diag(az[1:-1], 1) - np.diag(az[1:-1], -1))
-        D, Q = np.linalg.eigh(0.5 * (Tz + Tz.T))
+        if geo.axes[0].periodic:
+            # fully periodic validation domain: z diagonalizes in the
+            # same real-DFT basis as y/x (eigenvalues cz * mu)
+            cz = float(_conductance(geo, 0)[0, 0, 0])
+            mu_z2 = np.concatenate([_mu(nz, rfft=True)] * 2)
+            D = -cz * mu_z2                          # (2nmz,)
+            Fz, Gz = _real_dft_pair(nz, np.float64)
+            Q = None
+        else:
+            az = _conductance(geo, 0)[:, 0, 0].astype(np.float64)  # (nz+1,)
+            Tz = (np.diag(az[:-1] + az[1:])
+                  - np.diag(az[1:-1], 1) - np.diag(az[1:-1], -1))
+            D, Q = np.linalg.eigh(0.5 * (Tz + Tz.T))
+            Fz = Gz = None
 
         # mode shifts: stack re/im per axis (weights repeat)
         mu_y2 = np.concatenate([mu_y, mu_y])         # (2nmy,)
@@ -210,7 +220,9 @@ class CuboidPoissonFastDiag:
         f = lambda a: np.asarray(a, dtype=dtype)     # host constants
         self._Fy, self._Gy = f(Fy), f(Gy)
         self._Fx, self._Gx = f(Fx), f(Gx)
-        self._Q = f(Q)
+        self._Q = f(Q) if Q is not None else None
+        self._Fz = f(Fz) if Fz is not None else None
+        self._Gz = f(Gz) if Gz is not None else None
         self._inv_denom = f(inv_denom)
 
     def __call__(self, b: jnp.ndarray) -> jnp.ndarray:
@@ -226,9 +238,14 @@ class CuboidPoissonFastDiag:
         # stencil, so the mixed-axis cross terms stay diagonal.
         h = jnp.einsum("ky,zyx->zkx", self._Fy, bw, precision=hi)
         h = jnp.einsum("kx,zyx->zyk", self._Fx, h, precision=hi)
-        h = jnp.einsum("za,zyx->ayx", self._Q, h, precision=hi)
-        h = h * self._inv_denom
-        h = jnp.einsum("za,ayx->zyx", self._Q, h, precision=hi)
+        if self._Q is not None:
+            h = jnp.einsum("za,zyx->ayx", self._Q, h, precision=hi)
+            h = h * self._inv_denom
+            h = jnp.einsum("za,ayx->zyx", self._Q, h, precision=hi)
+        else:  # fully periodic z: real-DFT pair instead of eigenbasis
+            h = jnp.einsum("az,zyx->ayx", self._Fz, h, precision=hi)
+            h = h * self._inv_denom
+            h = jnp.einsum("za,ayx->zyx", self._Gz, h, precision=hi)
         h = jnp.einsum("xk,zyk->zyx", self._Gx, h, precision=hi)
         x = jnp.einsum("yk,zkx->zyx", self._Gy, h, precision=hi)
         return x.astype(b.dtype), jnp.asarray(0, jnp.int32)
