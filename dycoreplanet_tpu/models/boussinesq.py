@@ -199,6 +199,18 @@ class BoussinesqModel:
 
         self._setup_bcs()
         self._setup_static_fields()
+        # fused Pallas explicit-forcing kernel (TPU, single device,
+        # shell standard personality) — None keeps the jnp stencil path
+        self._forcing_pallas = None
+        self._proj_pallas = None
+        if self.momentum_solver != "coupled":
+            from dycoreplanet_tpu.ops.pallas_stencil import (
+                make_shell_forcing, make_shell_projection)
+
+            self._forcing_pallas = make_shell_forcing(
+                geo, self, use_pallas=params.numerics.use_pallas)
+            self._proj_pallas = make_shell_projection(
+                geo, self, use_pallas=params.numerics.use_pallas)
         self._setup_const_registry()
         self._jit_step = jax.jit(self._step_consts)
 
@@ -542,16 +554,14 @@ class BoussinesqModel:
         return uf.at[tuple([slice(None)] * d + [0])].set(0.0)
 
     # ------------------------------------------------------------------
-    def _step_impl(self, state: State, dt: jnp.ndarray):
+    def _explicit_forcing(self, u, u_faces, pres, T):
+        """Explicit momentum forcing from step n (jnp reference path;
+        the fused Pallas kernel in ops/pallas_stencil.py computes the
+        same quantity in one pass on TPU)."""
         geo = self.geo
         p = self.params
         dim = geo.dim
-        vol = self.vol
-        u, u_faces, pres, T = state.u, state.u_faces, state.p, state.T
-        dt = jnp.asarray(dt, self.dtype)
-        dt_T = dt / p.NSE_solver_interval
 
-        # ---------------- explicit forcing from step n ----------------
         # buoyancy: rho(T) * g_hat  (reference: tpp:643-650, 594-597).
         # Default split: the rho=1 hydrostatic part is an exact gradient
         # absorbed into self.p_hydro analytically — applying it
@@ -595,8 +605,26 @@ class BoussinesqModel:
                 for d in range(dim)
             ])
             forcing = forcing - gradp
+        return forcing
 
-        rhs_u = u + dt * forcing
+    # ------------------------------------------------------------------
+    def _step_impl(self, state: State, dt: jnp.ndarray):
+        geo = self.geo
+        p = self.params
+        dim = geo.dim
+        vol = self.vol
+        u, u_faces, pres, T = state.u, state.u_faces, state.p, state.T
+        dt = jnp.asarray(dt, self.dtype)
+        dt_T = dt / p.NSE_solver_interval
+
+        # ---------------- explicit forcing from step n ----------------
+        if (self._forcing_pallas is not None
+                and self.momentum_solver != "coupled"):
+            rhs_u = self._forcing_pallas(u, u_faces, T, pres, dt)
+            forcing = None
+        else:
+            forcing = self._explicit_forcing(u, u_faces, pres, T)
+            rhs_u = u + dt * forcing
 
         if self.momentum_solver == "coupled":
             # monolithic saddle-point solve (reference parity path);
@@ -721,21 +749,28 @@ class BoussinesqModel:
             helm_rnorm_out = helm_res.residual_norm
 
         # ---------------- pressure projection --------------------------
-        uf_star = [
-            self._apply_wall_face_values(
-                self._interp_component_to_faces(u_star[c], c), c)
-            for c in range(dim)
-        ]
-        div_star = st.divergence(geo, uf_star)
+        fused = self._proj_pallas
+        if fused is not None:
+            uf0, uf1, uf2, rhs_raw, psums = fused.faces_div(u_star, dt)
+            uf_star = [uf0, uf1, uf2]
+            # compatibility: subtract the float drift of sum(rhs)
+            rhs_phi = rhs_raw - jnp.sum(psums) / float(geo.n_cells)
+        else:
+            uf_star = [
+                self._apply_wall_face_values(
+                    self._interp_component_to_faces(u_star[c], c), c)
+                for c in range(dim)
+            ]
+            div_star = st.divergence(geo, uf_star)
+            # compatibility: the all-ones vector spans the nullspace of
+            # the weak Laplacian, so sum(rhs) must vanish; analytically
+            # it does (total boundary flux is zero), subtract the drift.
+            rhs_phi = -vol * div_star / dt
+            rhs_phi = rhs_phi - jnp.mean(rhs_phi)
 
         def poisson_op(x):
             return -st.weak_laplacian(geo, x, self.p_specs)
 
-        # compatibility: the all-ones vector spans the nullspace of the
-        # weak Laplacian, so sum(rhs) must vanish; analytically it does
-        # (total boundary flux is zero), subtract the float drift.
-        rhs_phi = -vol * div_star / dt
-        rhs_phi = rhs_phi - jnp.mean(rhs_phi)
         if self.poisson_spectral is not None:
             phi, poisson_iters = self.poisson_spectral.solve(rhs_phi)
             poisson_rnorm = jnp.asarray(-1.0, jnp.float32)  # direct/spectral
@@ -748,9 +783,14 @@ class BoussinesqModel:
                           preconditioner=precond)
             phi, poisson_iters = pres_res.x, pres_res.iterations
             poisson_rnorm = pres_res.residual_norm
-        phi = phi - st.volume_mean(geo, phi)
 
-        # face correction: exactly divergence-free staggered velocities
+        # correction stage: the XLA-fused jnp chain measured FASTER than
+        # the fused Pallas `correct` kernel on TPU v5e (0.020 vs
+        # 0.102 ms at 32x128x256 — XLA fuses this elementwise/slice
+        # chain into ~2 passes), so the jnp path stays the default;
+        # ShellProjectionPallas.correct remains available + tested.
+        phi = phi - st.volume_mean(geo, phi)
+        # face correction: exactly div-free staggered velocities
         new_faces = []
         for d in range(dim):
             gphi = st.grad_left_faces(geo, phi, d, self.p_specs[d])
@@ -758,10 +798,10 @@ class BoussinesqModel:
             new_faces.append(self._apply_wall_face_values(uf_new, d))
         # cell-centered correction
         gradphi_c = jnp.stack([
-            st.centered_gradient(geo, phi, d, self.p_specs[d]) for d in range(dim)
+            st.centered_gradient(geo, phi, d, self.p_specs[d])
+            for d in range(dim)
         ])
         u_new = u_star - dt * gradphi_c
-
         if p.numerics.projection == "incremental":
             p_new = pres + phi
         else:

@@ -40,7 +40,7 @@ runs only (the bench configuration).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -49,7 +49,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dycoreplanet_tpu.grid.geometry import Geometry
-from dycoreplanet_tpu.ops.bc import BC
 
 
 def supports_pallas() -> bool:
@@ -112,7 +111,9 @@ class ShellForcingPallas:
         nr, nlat, nlon = geo.cell_shape
         self.shape = (nr, nlat, nlon)
         if block_rows is None:
-            block_rows = next(b for b in (8, 4, 2, 1) if nr % b == 0)
+            # Mosaic block constraint: the metric stack's second-to-last
+            # block dim (blk) must be a multiple of 8 or the full extent
+            block_rows = next((b for b in (8, 16) if nr % b == 0), nr)
         assert nr % block_rows == 0
         self.blk = block_rows
         self.nb = nr // block_rows
@@ -140,10 +141,13 @@ class ShellForcingPallas:
         area_lat = np.broadcast_to(np.asarray(geo.face_area[1], np.float64),
                                    (nr, nlat + 1, 1))[..., 0]
         rc = np.broadcast_to(geo.extras["r_centers"], (nr, nlat, 1))[..., 0]
-        gr = np.broadcast_to(np.asarray(gravity_r, np.float64).reshape(
-            gravity_r.shape), (nr,) + gravity_r.shape[1:])
-        gr2 = np.broadcast_to(np.asarray(gravity_r, np.float64),
-                              (nr, nlat, 1))[..., 0]
+        # radial gravity profile: the shell metric (and the reference's
+        # radial gravity, core_model_data.tpp:97-106) is lon-invariant
+        gfull = np.broadcast_to(np.asarray(gravity_r, np.float64),
+                                (nr, nlat, nlon))
+        if not np.allclose(gfull, gfull[..., :1]):
+            raise ValueError("fused kernel needs lon-invariant gravity")
+        gr2 = gfull[..., 0]
         cosl = np.cos(np.asarray(geo.axes[1].centers, np.float64))
         dlon = 2.0 * np.pi / nlon
         self.M = f(np.stack([
@@ -211,8 +215,11 @@ class ShellForcingPallas:
         if call is None:
             call = self._build_call(dtype)
             self._kernel_cache[key] = call
+        lat_c = jnp.asarray(np.stack([
+            self.c_cos[0, :, 0], self.c_tan[0, :, 0], self.c_sin[0, :, 0],
+        ]), dtype)
         return call(dt_arr, ch, H, u_faces[0], f0h, u_faces[1], u_faces[2],
-                    T, jnp.asarray(self.M, dtype))
+                    T, jnp.asarray(self.M, dtype), lat_c)
 
     # ------------------------------------------------------------------
     def _build_call(self, dtype):
@@ -221,32 +228,41 @@ class ShellForcingPallas:
         K = self.K
         scheme = self.scheme
         dr, dlat = self.dr, self.dlat
-        cosl = jnp.asarray(self.c_cos)      # (1, nlat, 1)
-        tanl = jnp.asarray(self.c_tan)
-        sinl = jnp.asarray(self.c_sin)
-        pole_s = jnp.asarray(self._POLE_SIGN[:3]).reshape(3, 1, 1, 1)
         beta, T_ref, rho_bg = self.s_beta, self.s_Tref, self.s_rho_bg
         iRe, omega = self.s_iRe, self.s_omega
         coriolis_mode, buoyancy = self.coriolis_mode, self.buoyancy
         include_gradp = self.include_gradp
         half = nlon // 2
 
-        def pole_pad2(x, sgn):
+        def flip_vec(g):
+            """Pole sign pattern of the stacked velocity (leading axis
+            [u_r, u_lat, u_lon]): POLE for u_r, POLE_FLIP for
+            tangential components (the local basis flips across it)."""
+            return jnp.concatenate([g[0:1], -g[1:3]], axis=0)
+
+        def pole_pad2(x, vec):
             """lat axis is the second-to-last: add 2 pole ghosts each
             side (outermost replicated, like _widen_to_2ghosts)."""
-            g_lo = sgn * jnp.roll(x[..., 0:1, :], half, axis=-1)
-            g_hi = sgn * jnp.roll(x[..., -1:, :], half, axis=-1)
+            g_lo = jnp.roll(x[..., 0:1, :], half, axis=-1)
+            g_hi = jnp.roll(x[..., -1:, :], half, axis=-1)
+            if vec:
+                g_lo, g_hi = flip_vec(g_lo), flip_vec(g_hi)
             p1 = jnp.concatenate([g_lo, x, g_hi], axis=-2)
             return jnp.concatenate(
                 [p1[..., 0:1, :], p1, p1[..., -1:, :]], axis=-2)
 
-        def pole_pad1(x, sgn):
-            g_lo = sgn * jnp.roll(x[..., 0:1, :], half, axis=-1)
-            g_hi = sgn * jnp.roll(x[..., -1:, :], half, axis=-1)
+        def pole_pad1(x, vec):
+            g_lo = jnp.roll(x[..., 0:1, :], half, axis=-1)
+            g_hi = jnp.roll(x[..., -1:, :], half, axis=-1)
+            if vec:
+                g_lo, g_hi = flip_vec(g_lo), flip_vec(g_hi)
             return jnp.concatenate([g_lo, x, g_hi], axis=-2)
 
         def kernel(dt_ref, ch_ref, H_ref, f0_ref, f0h_ref, f1_ref, f2_ref,
-                   T_ref_, M_ref, out_ref):
+                   T_ref_, M_ref, lat_ref, out_ref):
+            cosl = lat_ref[0].reshape(1, nlat, 1)
+            tanl = lat_ref[1].reshape(1, nlat, 1)
+            sinl = lat_ref[2].reshape(1, nlat, 1)
             dt = dt_ref[0, 0]
             ch = ch_ref[:]                       # (4, blk, nlat, nlon)
             H = H_ref[0]                         # (4, 4, nlat, nlon)
@@ -272,7 +288,7 @@ class ShellForcingPallas:
             div_r = dq_r[1:] - dq_r[:-1]
 
             # ---------- latitude (axis 1 of block slabs) ---------------
-            p2l = pole_pad2(u3, pole_s)
+            p2l = pole_pad2(u3, True)
             fv_l = _muscl_faces(p2l, f1[None], 2, nlat, scheme)
             aq_l = alat_lo * f1[None] * fv_l
             zrow = jnp.zeros_like(aq_l[..., :1, :])
@@ -295,9 +311,8 @@ class ShellForcingPallas:
                 fv_o = 0.5 * (jnp.roll(u3, 1, axis=3) + u3)
             aq_o = alon * f2[None] * fv_o
             adv_o = jnp.roll(aq_o, -1, axis=3) - aq_o
-            dq_o = alon * f2
-            div_o = jnp.roll(dq_o, -1, axis=2 + 1 - 1) - dq_o  # lon axis = 2
-            # NOTE: dq_o has rank 3 (blk, nlat, nlon) -> lon axis is 2
+            dq_o = alon * f2                      # rank 3: lon axis = 2
+            div_o = jnp.roll(dq_o, -1, axis=2) - dq_o
 
             div_u = (div_r + div_l + div_o) / vol
             adv = (adv_r + adv_l + adv_o) / vol - u3 * div_u[None]
@@ -333,14 +348,14 @@ class ShellForcingPallas:
 
             # ---------- viscous curvature corrections ------------------
             # physical angular derivatives: (pad[j+2]-pad[j]) / (2 r dlat)
-            pl_u = pole_pad1(u3, pole_s)
-            dlat = lambda c: ((pl_u[c, :, 2:, :] - pl_u[c, :, :-2, :])
-                              / (2.0 * r_c * self.dlat))
-            dlon = lambda c: ((jnp.roll(u3[c], -1, axis=2)
-                               - jnp.roll(u3[c], 1, axis=2))
-                              / (2.0 * dist_lon))
-            dlat_ur, dlat_ul = dlat(0), dlat(1)
-            dlon_ur, dlon_ul, dlon_up = dlon(0), dlon(1), dlon(2)
+            pl_u = pole_pad1(u3, True)
+            d_lat = lambda c: ((pl_u[c, :, 2:, :] - pl_u[c, :, :-2, :])
+                               / (2.0 * r_c * dlat))
+            d_lon = lambda c: ((jnp.roll(u3[c], -1, axis=2)
+                                - jnp.roll(u3[c], 1, axis=2))
+                               / (2.0 * dist_lon))
+            dlat_ur, dlat_ul = d_lat(0), d_lat(1)
+            dlon_ur, dlon_ul, dlon_up = d_lon(0), d_lon(1), d_lon(2)
             rcos2 = (r_c * cosl) ** 2
             visc = iRe * jnp.stack([
                 -2.0 * ur / r_c**2
@@ -357,7 +372,7 @@ class ShellForcingPallas:
             if include_gradp:
                 ppr = p2r[3, 1:blk + 3]          # p with +-1 radial ghosts
                 gp_r = (ppr[2:] - ppr[:-2]) / (2.0 * dr)
-                ppl = pole_pad1(ch[3][None], 1.0)[0]
+                ppl = pole_pad1(ch[3][None], False)[0]
                 gp_l = (ppl[:, 2:, :] - ppl[:, :-2, :]) / (2.0 * r_c * dlat)
                 gp_o = (jnp.roll(ch[3], -1, axis=2)
                         - jnp.roll(ch[3], 1, axis=2)) / (2.0 * dist_lon)
@@ -381,11 +396,12 @@ class ShellForcingPallas:
                 bspec((blk, nlat, nlon), lambda i: (i, 0, 0)),   # f2
                 bspec((blk, nlat, nlon), lambda i: (i, 0, 0)),   # T
                 bspec((K, blk, nlat), lambda i: (0, i, 0)),      # metrics
+                bspec((3, nlat), lambda i: (0, 0)),              # lat consts
             ],
             out_specs=bspec((3, blk, nlat, nlon), lambda i: (0, i, 0, 0)),
         )
 
-        def call(dt_arr, ch, H, f0, f0h, f1, f2, T, M):
+        def call(dt_arr, ch, H, f0, f0h, f1, f2, T, M, lat_c):
             return pl.pallas_call(
                 kernel,
                 grid_spec=grid_spec,
@@ -393,9 +409,289 @@ class ShellForcingPallas:
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=100 * 1024 * 1024),
                 interpret=self.interpret,
-            )(dt_arr, ch, H, f0, f0h, f1, f2, T, M)
+            )(dt_arr, ch, H, f0, f0h, f1, f2, T, M, lat_c)
 
         return call
+
+
+class ShellProjectionPallas:
+    """Fused pre/post-Poisson projection stages for the shell:
+
+      faces_div: u* -> staggered face velocities (Rhie-Chow interp +
+                 wall zeros) and the raw Poisson RHS -vol*div(u*)/dt
+                 with per-block partial sums (the caller finishes the
+                 compatibility mean-subtraction);
+      correct:   (u*, faces, phi, p) -> divergence-free corrected
+                 faces, cell-centered velocity and updated pressure.
+
+    Measured on TPU v5e at 32x128x256 (slope timing through the axon
+    tunnel): faces_div 0.028 ms vs 0.033 ms for the jnp chain (small
+    win — the model uses it); correct 0.102 ms vs 0.020 ms for the jnp
+    chain (XLA fuses that elementwise/slice chain into ~2 passes, so
+    the model keeps the jnp path and `correct` stays as an
+    equivalence-tested alternative for platforms where XLA fuses
+    worse). jnp oracle: the corresponding blocks of
+    models/boussinesq.py _solve_momentum_projection."""
+
+    def __init__(self, geo: Geometry, *, dtype=np.float32,
+                 incremental: bool, block_rows: Optional[int] = None,
+                 interpret: bool = False):
+        assert geo.kind == "shell"
+        self.geo = geo
+        nr, nlat, nlon = geo.cell_shape
+        self.shape = (nr, nlat, nlon)
+        if block_rows is None:
+            block_rows = next((b for b in (8, 16) if nr % b == 0), nr)
+        self.blk = block_rows
+        self.nb = nr // block_rows
+        self.interpret = interpret
+        self.incremental = incremental
+        self.dr = float(np.asarray(geo.face_dist[0]).flat[0])
+        self.dlat = float(np.pi / nlat)
+        f = lambda a: np.asarray(a, dtype=dtype)
+        b2 = lambda a: np.broadcast_to(np.asarray(a, np.float64)[..., 0],
+                                       (nr, nlat))
+        area_r = np.broadcast_to(np.asarray(geo.face_area[0], np.float64),
+                                 (nr + 1, nlat, 1))[..., 0]
+        area_lat = np.broadcast_to(np.asarray(geo.face_area[1], np.float64),
+                                   (nr, nlat + 1, 1))[..., 0]
+        rc = np.broadcast_to(geo.extras["r_centers"], (nr, nlat, 1))[..., 0]
+        cosl = np.cos(np.asarray(geo.axes[1].centers, np.float64))
+        dlon = 2.0 * np.pi / nlon
+        self.M = f(np.stack([
+            b2(geo.vol),                 # 0 vol
+            area_r[:nr],                 # 1 ar_lo
+            area_r[1:],                  # 2 ar_hi
+            area_lat[:, :nlat],          # 3 alat_lo
+            b2(geo.face_area[2]),        # 4 alon
+            rc * cosl[None, :] * dlon,   # 5 dist_lon
+            rc,                          # 6 r_c
+        ]))
+        self._cache = {}
+
+    # -- XLA-side halo builders ----------------------------------------
+    def _row_halo(self, x, lo_sign, hi_sign):
+        """(nb, 2, nlat, nlon): the single row below / above each block
+        (wall BC ghost rows at the domain ends)."""
+        blk, nb = self.blk, self.nb
+        rows = []
+        for i in range(nb):
+            below = (lo_sign * x[0:1] if i == 0 else x[i * blk - 1:i * blk])
+            above = (hi_sign * x[-1:] if i == nb - 1
+                     else x[(i + 1) * blk:(i + 1) * blk + 1])
+            rows.append(jnp.concatenate([below, above], axis=0))
+        return jnp.stack(rows)
+
+    # ------------------------------------------------------------------
+    def faces_div(self, u_star, dt):
+        nr, nlat, nlon = self.shape
+        dtype = u_star.dtype
+        u0h = self._row_halo(u_star[0], -1.0, -1.0)   # ANTISYM both walls
+        dt_arr = jnp.asarray(dt, dtype).reshape(1, 1)
+        call = self._get(dtype, "faces_div")
+        return call(dt_arr, u_star, u0h, jnp.asarray(self.M, dtype))
+
+    def correct(self, u_star, uf, phi, pres, dt, phi_mean):
+        nr, nlat, nlon = self.shape
+        dtype = u_star.dtype
+        phih = self._row_halo(phi, 1.0, 1.0)          # NEUMANN both walls
+        dt_arr = jnp.asarray(dt, dtype).reshape(1, 1)
+        pm = jnp.asarray(phi_mean, dtype).reshape(1, 1)
+        call = self._get(dtype, "correct")
+        return call(dt_arr, pm, u_star, phi, phih, uf[0], uf[1], uf[2],
+                    pres, jnp.asarray(self.M, dtype))
+
+    def _get(self, dtype, which):
+        key = (dtype.name, which)
+        if key not in self._cache:
+            self._cache[key] = (self._build_faces_div(dtype)
+                                if which == "faces_div"
+                                else self._build_correct(dtype))
+        return self._cache[key]
+
+    # ------------------------------------------------------------------
+    def _build_faces_div(self, dtype):
+        nr, nlat, nlon = self.shape
+        blk, nb = self.blk, self.nb
+        half = nlon // 2
+
+        def kernel(dt_ref, u_ref, u0h_ref, M_ref,
+                   uf0_ref, uf1_ref, uf2_ref, rhs_ref, psum_ref):
+            i = pl.program_id(0)
+            dt = dt_ref[0, 0]
+            u0, u1, u2 = u_ref[0], u_ref[1], u_ref[2]
+            M = M_ref[:]
+            m = lambda k: M[k][:, :, None]
+            vol, ar_lo, ar_hi, alat_lo, alon = (m(0), m(1), m(2), m(3), m(4))
+
+            # radial faces incl. the upper seam (blk+1 rows); the
+            # antisym wall ghosts make the global wall faces exactly 0
+            u0e = jnp.concatenate(
+                [u0h_ref[0, 0:1], u0, u0h_ref[0, 1:2]], axis=0)
+            uf0e = 0.5 * (u0e[:-1] + u0e[1:])
+            ridx = (jax.lax.broadcasted_iota(jnp.int32, (blk + 1, 1, 1), 0)
+                    + i * blk)
+            uf0e = jnp.where(ridx == 0, jnp.zeros_like(uf0e), uf0e)
+
+            # latitude faces (left): POLE_FLIP ghost for u_lat
+            g_lo = -jnp.roll(u1[:, 0:1, :], half, axis=-1)
+            p1 = jnp.concatenate([g_lo, u1], axis=1)
+            uf1 = 0.5 * (p1[:, :nlat, :] + p1[:, 1:nlat + 1, :])
+            uf1 = jnp.concatenate(
+                [jnp.zeros_like(uf1[:, :1, :]), uf1[:, 1:, :]], axis=1)
+
+            # longitude faces (periodic)
+            uf2 = 0.5 * (jnp.roll(u2, 1, axis=2) + u2)
+
+            ar_e = jnp.concatenate([ar_lo, ar_hi[-1:]], axis=0)
+            aq_r = ar_e * uf0e
+            aq_l = alat_lo * uf1
+            aq_o = alon * uf2
+            zrow = jnp.zeros_like(aq_l[:, :1, :])
+            div = (aq_r[1:] - aq_r[:-1]
+                   + jnp.concatenate([aq_l[:, 1:, :], zrow], axis=1) - aq_l
+                   + jnp.roll(aq_o, -1, axis=2) - aq_o) / vol
+            rhs = -vol * div / dt
+            uf0_ref[:] = uf0e[:blk]
+            uf1_ref[:] = uf1
+            uf2_ref[:] = uf2
+            rhs_ref[:] = rhs
+            psum_ref[:] = jnp.sum(rhs).reshape(1, 1, 1)
+
+        bspec = lambda shape, imap: pl.BlockSpec(shape, imap,
+                                                 memory_space=pltpu.VMEM)
+        fld = bspec((blk, nlat, nlon), lambda i: (i, 0, 0))
+        grid_spec = pl.GridSpec(
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                bspec((3, blk, nlat, nlon), lambda i: (0, i, 0, 0)),
+                bspec((1, 2, nlat, nlon), lambda i: (i, 0, 0, 0)),
+                bspec((7, blk, nlat), lambda i: (0, i, 0)),
+            ],
+            out_specs=[fld, fld, fld, fld,
+                       bspec((1, 1, 1), lambda i: (i, 0, 0))],
+        )
+
+        def call(dt_arr, u_star, u0h, M):
+            shp = jax.ShapeDtypeStruct((nr, nlat, nlon), dtype)
+            return pl.pallas_call(
+                kernel, grid_spec=grid_spec,
+                out_shape=[shp, shp, shp, shp,
+                           jax.ShapeDtypeStruct((nb, 1, 1), dtype)],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+                interpret=self.interpret,
+            )(dt_arr, u_star, u0h, M)
+
+        return call
+
+    # ------------------------------------------------------------------
+    def _build_correct(self, dtype):
+        nr, nlat, nlon = self.shape
+        blk, nb = self.blk, self.nb
+        half = nlon // 2
+        dr, dlat = self.dr, self.dlat
+        incremental = self.incremental
+
+        def kernel(dt_ref, pm_ref, u_ref, phi_ref, phih_ref,
+                   uf0_ref, uf1_ref, uf2_ref, pres_ref, M_ref,
+                   un_ref, f0_ref, f1_ref, f2_ref, pn_ref):
+            i = pl.program_id(0)
+            dt = dt_ref[0, 0]
+            pm = pm_ref[0, 0]
+            M = M_ref[:]
+            m = lambda k: M[k][:, :, None]
+            dist_lon, r_c = m(5), m(6)
+            phi = phi_ref[:] - pm
+            phie = jnp.concatenate(
+                [phih_ref[0, 0:1] - pm, phi, phih_ref[0, 1:2] - pm], axis=0)
+
+            # left-face gradients of phi
+            gl_r = (phie[1:blk + 1] - phie[:blk]) / dr
+            g_lo = jnp.roll(phi[:, 0:1, :], half, axis=-1)   # POLE
+            g_hi = jnp.roll(phi[:, -1:, :], half, axis=-1)
+            pl1 = jnp.concatenate([g_lo, phi], axis=1)
+            gl_l = (pl1[:, 1:nlat + 1, :] - pl1[:, :nlat, :]) / (r_c * dlat)
+            gl_o = (phi - jnp.roll(phi, 1, axis=2)) / dist_lon
+
+            ridx = (jax.lax.broadcasted_iota(jnp.int32, (blk, 1, 1), 0)
+                    + i * blk)
+            f0n = uf0_ref[:] - dt * gl_r
+            f0n = jnp.where(ridx == 0, jnp.zeros_like(f0n), f0n)
+            f1n = uf1_ref[:] - dt * gl_l
+            f1n = jnp.concatenate(
+                [jnp.zeros_like(f1n[:, :1, :]), f1n[:, 1:, :]], axis=1)
+            f2n = uf2_ref[:] - dt * gl_o
+
+            # centered gradients -> cell velocity correction
+            gc_r = (phie[2:] - phie[:-2]) / (2.0 * dr)
+            pl2 = jnp.concatenate([g_lo, phi, g_hi], axis=1)
+            gc_l = (pl2[:, 2:, :] - pl2[:, :-2, :]) / (2.0 * r_c * dlat)
+            gc_o = (jnp.roll(phi, -1, axis=2)
+                    - jnp.roll(phi, 1, axis=2)) / (2.0 * dist_lon)
+            un_ref[:] = u_ref[:] - dt * jnp.stack([gc_r, gc_l, gc_o])
+            f0_ref[:] = f0n
+            f1_ref[:] = f1n
+            f2_ref[:] = f2n
+            if incremental:
+                pn_ref[:] = pres_ref[:] + phi
+            else:
+                pn_ref[:] = jnp.broadcast_to(phi, pn_ref.shape)
+
+        bspec = lambda shape, imap: pl.BlockSpec(shape, imap,
+                                                 memory_space=pltpu.VMEM)
+        fld = bspec((blk, nlat, nlon), lambda i: (i, 0, 0))
+        smem = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
+        grid_spec = pl.GridSpec(
+            grid=(nb,),
+            in_specs=[
+                smem, smem,
+                bspec((3, blk, nlat, nlon), lambda i: (0, i, 0, 0)),
+                fld,
+                bspec((1, 2, nlat, nlon), lambda i: (i, 0, 0, 0)),
+                fld, fld, fld, fld,
+                bspec((7, blk, nlat), lambda i: (0, i, 0)),
+            ],
+            out_specs=[bspec((3, blk, nlat, nlon), lambda i: (0, i, 0, 0)),
+                       fld, fld, fld, fld],
+        )
+
+        def call(dt_arr, pm, u_star, phi, phih, uf0, uf1, uf2, pres, M):
+            shp = jax.ShapeDtypeStruct((nr, nlat, nlon), dtype)
+            return pl.pallas_call(
+                kernel, grid_spec=grid_spec,
+                out_shape=[jax.ShapeDtypeStruct((3, nr, nlat, nlon), dtype),
+                           shp, shp, shp, shp],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+                interpret=self.interpret,
+            )(dt_arr, pm, u_star, phi, phih, uf0, uf1, uf2, pres, M)
+
+        return call
+
+
+def make_shell_projection(geo: Geometry, model, *, interpret: bool = False,
+                          use_pallas: Optional[bool] = None):
+    """Gate the fused projection kernels; None -> jnp path."""
+    if geo.kind != "shell":
+        return None
+    nr, nlat, nlon = geo.cell_shape
+    if use_pallas is None:
+        from dycoreplanet_tpu.ops import pallas_kernels
+
+        ov = pallas_kernels._use_pallas_override
+        use_pallas = ov if ov is not None else supports_pallas()
+    if not use_pallas and not interpret:
+        return None
+    if not interpret and (nlon % 128 != 0 or nlat % 8 != 0):
+        return None
+    return ShellProjectionPallas(
+        geo, dtype=model.dtype,
+        incremental=model.params.numerics.projection == "incremental",
+        interpret=interpret)
 
 
 def make_shell_forcing(geo: Geometry, model, *, interpret: bool = False,
@@ -406,8 +702,6 @@ def make_shell_forcing(geo: Geometry, model, *, interpret: bool = False,
         return None
     if model.advection_form != "advective":
         return None  # FEEC rotational form keeps the jnp path (for now)
-    if model.params.numerics.temperature_advection != "eulerian":
-        pass  # temperature path is independent of this kernel
     nr, nlat, nlon = geo.cell_shape
     if use_pallas is None:
         from dycoreplanet_tpu.ops import pallas_kernels

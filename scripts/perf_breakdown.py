@@ -119,6 +119,15 @@ def main():
         return u + eps * f  # feedback keeps the chain alive
     stages["explicit_forcing"] = chain_timer(forcing, u, 5, 45, model=model)
 
+    # fused Pallas forcing (the path the step actually takes on TPU)
+    if model._forcing_pallas is not None:
+        fp = model._forcing_pallas
+
+        def forcing_pallas(x):
+            return x * (1 - eps) + eps * fp(x, u_faces, T, pres, dt)
+        stages["forcing_pallas"] = chain_timer(
+            forcing_pallas, u, 10, 90, model=model)
+
     # ---- Helmholtz batched CG --------------------------------------
     def helm_op(x):
         return vol[None] * x - coef * jnp.stack([
