@@ -69,7 +69,7 @@ def _timed_chain(model, state, dt, n_steps):
     import jax.numpy as jnp
 
     t0 = time.perf_counter()
-    s, _ = model.multi_step(state, dt, n_steps, collect_diagnostics=False)
+    s, _, _ = model.multi_step(state, dt, n_steps, collect_diagnostics=False)
     # force full materialization: scalar reduction pulled to host
     float(jnp.sum(s.u[0]))
     return time.perf_counter() - t0, s

@@ -1101,41 +1101,87 @@ class BoussinesqModel:
         return new_state, StepDiagnostics(packed, self.geo.dim)
 
     # ------------------------------------------------------------------
+    def _dt_scaling_const(self) -> float:
+        """Static prefactor of the reference CFL formula
+        (boussinesq_model.tpp:1104-1125) — shared by the host and
+        on-device recomputations so the two match bitwise in f64."""
+        dim = self.geo.dim
+        scaling = 0.25 if dim == 3 else 1.0
+        return scaling / (2.1 * dim * math.sqrt(1.0 * dim))
+
     def multi_step(self, state: State, dt, n_steps: int,
-                   collect_diagnostics: bool = True):
+                   collect_diagnostics: bool = True,
+                   adaptive: bool = False):
         """Advance ``n_steps`` steps inside ONE jitted lax.scan.
 
         Production throughput mode: a Python-level step loop pays one
         host->device dispatch per step (~0.3 ms over the tunneled TPU
         link — a third of the step itself at 32x128x256); scanning
-        on-device removes it. Fixed dt (no adaptive control inside the
-        scan) and NSE_solver_interval == 1 semantics.
+        on-device removes it. Full run-loop semantics live inside the
+        scan: ``NSE solver interval`` sub-cycling (NSE solved at steps
+        where step_number % interval == 0, temperature-only otherwise —
+        reference boussinesq_model.tpp:1867-1905) and, with
+        ``adaptive=True``, the CFL time-step recomputation at interval
+        boundaries (reference recompute_time_step, tpp:1104-1125)
+        carried in the scan state — no device->host sync per step.
 
-        Returns (final_state, packed_diagnostics[n_steps, k]) — per-step
-        diagnostics come back stacked in one device array, so reading
-        them costs a single pull. With ``collect_diagnostics=False``
-        only the LAST step's diagnostics are computed
-        (packed shape [1, k]): the per-step field reductions
-        (CFL / extrema / divergence maxima) cost ~0.2 ms/step at
-        32x128x256 and XLA dead-code-eliminates them when unused."""
+        Returns (final_state, packed_diagnostics[n_steps, k], dt_final).
+        Per-step diagnostics come back stacked in one device array, so
+        reading them costs a single pull. With
+        ``collect_diagnostics=False`` only the LAST step's diagnostics
+        are computed (packed shape [1, k]): the per-step field
+        reductions cost ~0.2 ms/step at 32x128x256 and XLA
+        dead-code-eliminates them when unused."""
+        interval = self.params.NSE_solver_interval
+        deg = max(self.params.temperature_degree,
+                  self.params.nse_velocity_degree)
+        c0 = self._dt_scaling_const()
+
         if not hasattr(self, "_jit_multi_step"):
-            def scan_steps(state, dt, cvals, n, collect):
+            def one_step(s, dt_now):
+                if self.params.NSE_solver_interval == 1:
+                    return self._step_impl(s, dt_now)
+                return jax.lax.cond(
+                    s.step_number % self.params.NSE_solver_interval == 0,
+                    lambda args: self._step_impl(*args),
+                    lambda args: self._temperature_step_impl(*args),
+                    (s, dt_now))
+
+            def next_dt(s_new, packed, dt_now, adapt):
+                if not adapt:
+                    return dt_now
+                # host-loop parity: recompute AFTER steps where the NEW
+                # step count hits an interval boundary (run(), tpp
+                # analogue in BoussinesqModel.run)
+                cfl = jnp.maximum(packed[0].astype(dt_now.dtype), 1e-30)
+                dt_new = c0 / (deg * cfl)
+                boundary = (s_new.step_number
+                            % self.params.NSE_solver_interval) == 0
+                return jnp.where(boundary, dt_new, dt_now)
+
+            def scan_steps(state, dt, cvals, n, collect, adapt):
                 with self._bound_consts(cvals):
-                    def body(s, _):
-                        ns, packed = self._step_impl(s, dt)
-                        return ns, (packed if collect else None)
+                    def body(carry, _):
+                        s, dt_now = carry
+                        ns, packed = one_step(s, dt_now)
+                        dt_next = next_dt(ns, packed, dt_now, adapt)
+                        return (ns, dt_next), (packed if collect else None)
 
                     if collect:
-                        return jax.lax.scan(body, state, None, length=n)
-                    s, _ = jax.lax.scan(body, state, None, length=n - 1)
-                    s, packed = self._step_impl(s, dt)
-                    return s, packed[None]
+                        (s, dt_out), packed = jax.lax.scan(
+                            body, (state, dt), None, length=n)
+                        return s, packed, dt_out
+                    (s, dt_now), _ = jax.lax.scan(
+                        body, (state, dt), None, length=n - 1)
+                    s, packed = one_step(s, dt_now)
+                    dt_out = next_dt(s, packed, dt_now, adapt)
+                    return s, packed[None], dt_out
 
             self._jit_multi_step = jax.jit(
-                scan_steps, static_argnames=("n", "collect"))
+                scan_steps, static_argnames=("n", "collect", "adapt"))
         return self._jit_multi_step(state, jnp.asarray(dt, self.dtype),
                                     self._const_values(),
-                                    n_steps, collect_diagnostics)
+                                    n_steps, collect_diagnostics, adaptive)
 
     # ------------------------------------------------------------------
     def _temperature_step_impl(self, state: State, dt: jnp.ndarray):
@@ -1181,10 +1227,8 @@ class BoussinesqModel:
     def compute_time_step(self, cfl: float) -> float:
         """The reference's step-32 CFL formula
         (reference: boussinesq_model.tpp:1104-1125)."""
-        dim = self.geo.dim
-        scaling = 0.25 if dim == 3 else 1.0
         deg = max(self.params.temperature_degree, self.params.nse_velocity_degree)
-        return scaling / (2.1 * dim * math.sqrt(1.0 * dim)) / (deg * max(cfl, 1e-30))
+        return self._dt_scaling_const() / (deg * max(cfl, 1e-30))
 
     # ------------------------------------------------------------------
     def run(self, max_steps: Optional[int] = None, callback=None) -> Tuple[State, List[Dict]]:

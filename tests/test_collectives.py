@@ -47,3 +47,46 @@ def test_collective_structure_of_sharded_step():
     assert counts["collective-permute"] > 0, counts
     # no accidental full-array gathers outside the spectral transposes
     assert counts["all-gather"] <= 10, counts
+
+
+def test_collective_byte_volume_bounds():
+    """Bound communication VOLUME, not just op counts (SCALING.md):
+    an accidental replication/gather of a full field shows up here.
+
+    Weak-scaling property under test at fixed per-shard work:
+      * halo (collective-permute) payload per device stays O(shard
+        surface) — bounded by a few field-equivalents;
+      * all-reduce payload stays scalar-dominated;
+      * all-gather payload stays ~zero (no full-field replication)."""
+    import __graft_entry__ as g
+
+    from dycoreplanet_tpu.parallel.comm_analysis import step_comm_summary
+
+    per_shard = (8, 16, 32)
+    results = {}
+    for n, mul in ((2, (1, 1, 2)), (8, (1, 2, 4))):
+        shape = tuple(s * m for s, m in zip(per_shard, mul))
+        model = g._make_model("float32", shape=shape)
+        results[n] = step_comm_summary(model, n)
+
+    field_bytes = 4 * int(np.prod(per_shard))  # one per-shard f32 field
+    for n, s in results.items():
+        assert s["all-gather"]["bytes"] <= field_bytes, (n, s)
+        # reductions: Krylov dots + diagnostics + per-mode solver
+        # reductions — well under a handful of field-equivalents
+        assert s["all-reduce"]["bytes"] <= 16 * field_bytes, (n, s)
+        # halo: a width-1 ghost surface is ~ (2/min_dim) of a field per
+        # exchanged axis; allow generous headroom for the solver bodies
+        assert s["collective-permute"]["bytes"] <= 16 * field_bytes, (n, s)
+    # per-device volumes must not grow with device count at fixed
+    # per-shard work (weak-scaling cleanliness; headroom covers the
+    # 1D->2D mesh transition adding the second halo direction).
+    # Exception, pinned at its current growth: the spectral solver's
+    # per-longitude-mode CG dots all-reduce (nr, modes)-shaped partial
+    # sums, and the global mode count grows with the machine — O(8x)
+    # from 2->8 devices but tiny in absolute terms (SCALING.md).
+    grow = {"collective-permute": 3, "all-to-all": 3, "all-reduce": 8}
+    for op, factor in grow.items():
+        b2 = results[2][op]["bytes"]
+        b8 = results[8][op]["bytes"]
+        assert b8 <= max(factor * b2, field_bytes), (op, b2, b8)

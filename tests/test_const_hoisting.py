@@ -55,6 +55,6 @@ def test_hoisted_consts_match_literals(monkeypatch):
     assert isinstance(m_arg.vol, np.ndarray)
 
     # multi_step path too
-    r_lit, _ = m_lit.multi_step(s_lit, dt, 2, collect_diagnostics=False)
-    r_arg, _ = m_arg.multi_step(s_arg, dt, 2, collect_diagnostics=False)
+    r_lit, _, _ = m_lit.multi_step(s_lit, dt, 2, collect_diagnostics=False)
+    r_arg, _, _ = m_arg.multi_step(s_arg, dt, 2, collect_diagnostics=False)
     np.testing.assert_allclose(np.asarray(r_lit.u), np.asarray(r_arg.u), **tol)

@@ -1,5 +1,5 @@
-"""Golden-trajectory regression tests (the reference's stored-output
-diff mechanism generalized; see golden_trajectories.py)."""
+"""Golden-trajectory + field-snapshot regression tests (the reference's
+stored-output diff mechanism generalized; see golden_trajectories.py)."""
 
 import json
 
@@ -17,16 +17,29 @@ def _golden():
 @pytest.mark.parametrize("name", sorted(CASES))
 def test_trajectory_matches_golden(name):
     golden = _golden()[name]
-    rows = run_case(name)
-    assert len(rows) == len(golden)
-    for i, (got, want) in enumerate(zip(rows, golden)):
+    got = run_case(name)
+    rows, want_rows = got["rows"], golden["rows"]
+    assert len(rows) == len(want_rows)
+    for i, (g, w) in enumerate(zip(rows, want_rows)):
         for key in ("cfl", "max_velocity", "T_min", "T_max"):
             np.testing.assert_allclose(
-                got[key], want[key], rtol=1e-8, atol=1e-12,
+                g[key], w[key], rtol=1e-8, atol=1e-12,
                 err_msg=f"{name} step {i} field {key}")
         # div_norm is a near-zero residual; bound it instead of diffing
         # 1e-9 floor: the exact-solver family (Thomas vs eigentransform)
         # shifts this f64 residual by a few 1e-10 without any physical
         # difference; a real projection regression shows up at >=1e-6
-        assert got["div_norm"] < max(2 * want["div_norm"], 1e-9), \
+        assert g["div_norm"] < max(2 * w["div_norm"], 1e-9), \
             f"{name} step {i} divergence regressed"
+
+    # field snapshots: catch sign/phase errors invisible to extrema.
+    # atol floor = 1e-10 * field scale (near-zero entries of u/p carry
+    # solver-tolerance noise, not physics)
+    for step, want in golden["fields"].items():
+        snap = got["fields"][step]
+        for key in ("u", "p", "T"):
+            w = np.asarray(want[key])
+            scale = max(float(np.max(np.abs(w))), 1e-30)
+            np.testing.assert_allclose(
+                np.asarray(snap[key]), w, rtol=1e-7, atol=1e-10 * scale,
+                err_msg=f"{name} step {step} snapshot {key}")

@@ -110,7 +110,7 @@ def _taylor_green_run(n, scheme, Re=100.0, t_final=0.1, dt0=0.006, n0=16):
     dt = dt0 * (n0 / n) ** 2.5
     n_steps = max(1, int(round(t_final / dt)))
     dt = t_final / n_steps          # land exactly on t_final
-    s, _ = m.multi_step(s, dt, n_steps, collect_diagnostics=False)
+    s, _, _ = m.multi_step(s, dt, n_steps, collect_diagnostics=False)
 
     ue = np.zeros((3,) + geo.cell_shape)
     ue[2] = np.broadcast_to(u_x(xc, yc, t_final), geo.cell_shape)
@@ -167,7 +167,7 @@ def _slab_run(n, t_final=0.08, dt0=0.01, n0=16):
     dt = dt0 * (n0 / n) ** 2
     n_steps = max(1, int(round(t_final / dt)))
     dt = t_final / n_steps
-    s, _ = m.multi_step(s, dt, n_steps, collect_diagnostics=False)
+    s, _, _ = m.multi_step(s, dt, n_steps, collect_diagnostics=False)
 
     Te = T0 * np.exp(-mu * mu * t_final)  # Pe = 1
     return float(np.sqrt(np.mean((np.asarray(s.T) - Te) ** 2)))
@@ -207,7 +207,7 @@ def _annulus_conduction_run(nr, t_final=3.0, dt=0.05):
     Te = np.broadcast_to(np.log(2.0 / rc) / np.log(2.0), geo.cell_shape)
     s = m.initial_state()._replace(T=jnp.asarray(Te))
     n_steps = int(round(t_final / dt))
-    s, _ = m.multi_step(s, dt, n_steps, collect_diagnostics=False)
+    s, _, _ = m.multi_step(s, dt, n_steps, collect_diagnostics=False)
     return float(np.max(np.abs(np.asarray(s.T) - Te)))
 
 
@@ -281,7 +281,7 @@ class TestShellSolidBody:
         # exact, so the state must be a fixed point to f64 round-off
         m, s, up = _solid_body_model((16, 32, 64))
         u0 = np.asarray(s.u)
-        s, _ = m.multi_step(s, 0.005, 5, collect_diagnostics=False)
+        s, _, _ = m.multi_step(s, 0.005, 5, collect_diagnostics=False)
         drift = float(np.max(np.abs(np.asarray(s.u) - u0)))
         assert drift < 1e-9, drift
 
@@ -308,7 +308,7 @@ class TestShellSolidBody:
             dt = 0.01 / 4**i           # dt ~ h^2
             n_steps = max(1, int(round(t_final / dt)))
             dt = t_final / n_steps
-            s, _ = m.multi_step(s, dt, n_steps, collect_diagnostics=False)
+            s, _, _ = m.multi_step(s, dt, n_steps, collect_diagnostics=False)
             Te = blob(omega_rot * t_final)
             errs.append(float(np.sqrt(np.mean((np.asarray(s.T) - Te) ** 2))))
         orders = observed_orders([1, 0.5, 0.25], errs)

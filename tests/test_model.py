@@ -222,7 +222,7 @@ class TestMultiStep:
         for _ in range(4):
             s_loop, d_loop = m.step(s_loop, dt)
 
-        s_scan, packed = m.multi_step(m.initial_state(), dt, 4)
+        s_scan, packed, _ = m.multi_step(m.initial_state(), dt, 4)
         assert packed.shape[0] == 4
         np.testing.assert_allclose(np.asarray(s_scan.u),
                                    np.asarray(s_loop.u), atol=1e-14)
@@ -235,3 +235,75 @@ class TestMultiStep:
         d_last = StepDiagnostics(packed[-1], m.geo.dim)
         np.testing.assert_allclose(d_last.max_velocity, d_loop.max_velocity,
                                    rtol=1e-12)
+
+    def _small_params(self, **over):
+        from dycoreplanet_tpu.base.params import Parameters
+
+        p = Parameters.from_text("")
+        p.space_dimension = 2
+        p.numerics.dtype = "float64"
+        p.numerics.n_radial, p.numerics.n_lon = 8, 32
+        p.physical_constants.R0 = 1.0
+        p.physical_constants.atm_height = 2.0
+        p.physical_constants.expansion_coefficient = 0.3
+        p.physical_constants.__post_init__()
+        p.reference_quantities.velocity = 1.0
+        p.reference_quantities.length = 1.0
+        p.reference_quantities.temperature_ref = 2.0
+        p.reference_quantities.__post_init__()
+        for k, v in over.items():
+            setattr(p, k, v)
+        return p
+
+    def test_adaptive_dt_matches_host_loop(self):
+        """The in-scan CFL recomputation (reference formula
+        boussinesq_model.tpp:1104-1125) must reproduce the host loop's
+        dt trajectory bitwise in f64."""
+        from dycoreplanet_tpu.models import BoussinesqModel
+
+        p = self._small_params(adapt_time_step=True)
+        m = BoussinesqModel(p)
+        n = 6
+
+        # host loop: exactly BoussinesqModel.run's adaptive control
+        s = m.initial_state()
+        dt = p.time_step
+        dts = []
+        for k in range(n):
+            s, diag = m.step(s, dt)
+            if (k + 1) % p.NSE_solver_interval == 0:
+                dt = m.compute_time_step(float(diag.cfl))
+            dts.append(dt)
+
+        s2, packed, dt_out = m.multi_step(
+            m.initial_state(), p.time_step, n, adaptive=True)
+        assert float(dt_out) == dts[-1]
+        np.testing.assert_allclose(np.asarray(s2.u), np.asarray(s.u),
+                                   rtol=1e-14, atol=1e-16)
+        np.testing.assert_allclose(np.asarray(s2.T), np.asarray(s.T),
+                                   rtol=1e-14, atol=1e-16)
+
+    def test_nse_interval_subcycling_matches_run(self):
+        """NSE-interval sub-cycling inside the scan must match the
+        alternating step/temperature_step host loop."""
+        from dycoreplanet_tpu.models import BoussinesqModel
+
+        p = self._small_params(NSE_solver_interval=3)
+        m = BoussinesqModel(p)
+        dt = p.time_step
+        n = 7
+
+        s = m.initial_state()
+        for k in range(n):
+            if k % p.NSE_solver_interval == 0:
+                s, _ = m.step(s, dt)
+            else:
+                s, _ = m.temperature_step(s, dt)
+
+        s2, packed, _ = m.multi_step(m.initial_state(), dt, n)
+        assert packed.shape[0] == n
+        np.testing.assert_allclose(np.asarray(s2.u), np.asarray(s.u),
+                                   rtol=1e-14, atol=1e-16)
+        np.testing.assert_allclose(np.asarray(s2.T), np.asarray(s.T),
+                                   rtol=1e-14, atol=1e-16)
+        assert int(s2.step_number) == n
