@@ -75,6 +75,79 @@ def _timed_chain(model, state, dt, n_steps):
     return time.perf_counter() - t0, s
 
 
+def _bench_model(model, dt, n1, n2, reps):
+    """(ms_per_step, final_state) via min-over-reps slope timing."""
+    state = _seed_state(model, model.initial_state())
+    _, state = _timed_chain(model, state, dt, 5)  # warmup/compile
+    t1 = t2 = float("inf")
+    s2 = state
+    for _ in range(reps):
+        ta, _ = _timed_chain(model, state, dt, n1)
+        tb, s2 = _timed_chain(model, state, dt, n2)
+        t1, t2 = min(t1, ta), min(t2, tb)
+    return (t2 - t1) / (n2 - n1), s2
+
+
+def _poisson_ms(model, state, n1=5, n2=45, reps=3):
+    """Per-solve wall time of the pressure Poisson on developed flow."""
+    import jax
+    import jax.numpy as jnp
+
+    if model.poisson_spectral is None:
+        return None
+    rhs = jnp.asarray(np.float32(1.0)) * state.p  # developed-flow shape
+    rhs = rhs - jnp.mean(rhs)
+    eps = np.float32(1e-6)
+
+    @jax.jit
+    def chain(r, n):
+        def body(i, r):
+            phi, _ = model.poisson_spectral.solve(r)
+            return r * (1 - eps) + eps * phi
+        return jax.lax.fori_loop(0, n, body, r)
+
+    def run(n):
+        t0 = time.perf_counter()
+        out = chain(rhs, n)
+        float(jnp.sum(out))
+        return time.perf_counter() - t0
+
+    run(n1)
+    t1 = min(run(n1) for _ in range(reps))
+    t2 = min(run(n2) for _ in range(reps))
+    return (t2 - t1) / (n2 - n1) * 1e3
+
+
+def _secondary_models(on_tpu):
+    """Annulus + 3D-cuboid bench configs (BASELINE breadth)."""
+    from dycoreplanet_tpu.base.params import Parameters
+    from dycoreplanet_tpu.models import BoussinesqModel
+
+    out = {}
+    p = Parameters.from_text("")
+    p.space_dimension = 2
+    p.numerics.dtype = "float32"
+    p.numerics.n_radial, p.numerics.n_lon = (64, 2048) if on_tpu else (8, 48)
+    p.physical_constants.R0 = 1.0
+    p.physical_constants.atm_height = 2.0
+    p.reference_quantities.velocity = 1.0
+    p.reference_quantities.length = 1.0
+    p.reference_quantities.temperature_ref = 2.0
+    out["annulus"] = BoussinesqModel(p)
+
+    p2 = Parameters.from_text("")
+    p2.space_dimension = 3
+    p2.cuboid_geometry = True
+    p2.numerics.dtype = "float32"
+    n = (64, 128, 128) if on_tpu else (8, 8, 8)
+    p2.numerics.nz, p2.numerics.ny, p2.numerics.nx = n
+    p2.reference_quantities.velocity = 1.0
+    p2.reference_quantities.length = 1.0
+    p2.reference_quantities.temperature_ref = 3.0
+    out["cuboid"] = BoussinesqModel(p2)
+    return out
+
+
 def main() -> None:
     import jax
 
@@ -130,6 +203,20 @@ def main() -> None:
         f"max|u|={diag.max_velocity:.3f}, div={diag.div_norm:.2e}",
         file=sys.stderr,
     )
+
+    # --- BASELINE breadth: Poisson solve time + the other geometries ---
+    extra = {"shell_ms_per_step": float(f"{per_step * 1e3:.4g}")}
+    pms = _poisson_ms(model, s2, *( (5, 45, 3) if on_tpu else (1, 4, 1) ))
+    if pms is not None:
+        extra["shell_poisson_ms"] = float(f"{pms:.4g}")
+    for name, m2 in _secondary_models(on_tpu).items():
+        nn1, nn2 = (5, 45) if on_tpu else (1, 4)
+        ms, _ = _bench_model(m2, dt, nn1, nn2, reps=2 if on_tpu else 1)
+        c2 = int(np.prod(m2.geo.cell_shape))
+        extra[f"{name}_points_per_sec"] = float(f"{c2 / ms:.4g}")
+        print(f"bench: {name} {m2.geo.cell_shape}: {ms * 1e3:.2f} ms/step, "
+              f"{c2 / ms:.3e} pts/s", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -137,6 +224,7 @@ def main() -> None:
                 "value": float(f"{pps:.4g}"),
                 "unit": "points/s",
                 "vs_baseline": float(f"{pps / sol_pps:.4g}"),
+                "extra": extra,
             }
         )
     )

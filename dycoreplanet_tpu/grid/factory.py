@@ -90,6 +90,28 @@ def make_cuboid(nz: int, ny: int, nx: int, length_ref: float = 1.0,
 
 
 # ----------------------------------------------------------------------
+# 2D cuboid (z, x): unit square, periodic x, walls z (the reference's
+# dim=2 cuboid branch, planet_geometry.tpp:29-57)
+# ----------------------------------------------------------------------
+def make_cuboid_2d(nz: int, nx: int, length_ref: float = 1.0) -> Geometry:
+    L = 1.0 / length_ref
+    az = _wall_axis("z", 0.0, L, nz)
+    ax = _periodic_axis("x", 0.0, L, nx)
+    dz, dx = L / nz, L / nx
+
+    vol = np.full((1, 1), dz * dx)
+    area = (np.full((1, 1), dx), np.full((1, 1), dz))
+    dist = (np.full((nz + 1, 1), dz), np.full((1, 1), dx))
+    extras = {
+        "z_centers": az.centers.reshape(-1, 1),
+        "center": np.array([L / 2, L / 2]),
+        "diameter": L * np.sqrt(2.0),
+    }
+    return Geometry(kind="cuboid", axes=(az, ax), vol=vol,
+                    face_area=area, face_dist=dist, extras=extras)
+
+
+# ----------------------------------------------------------------------
 # annulus (r, phi): shell R0..R1 in nondim units; periodic phi
 # ----------------------------------------------------------------------
 def make_annulus(nr: int, nphi: int, r0: float, r1: float) -> Geometry:
@@ -172,10 +194,12 @@ def make_geometry(params: Parameters) -> Geometry:
     L = params.reference_quantities.length
     num = params.numerics
     if params.cuboid_geometry:
-        if params.space_dimension != 3:
-            # the reference supports a 2D cuboid in principle; we map it
-            # to a thin 3D slab later — not in the shipped config matrix.
-            raise NotImplementedError("2D cuboid not supported (not in reference config matrix)")
+        if params.space_dimension == 2:
+            # the reference's dim=2 cuboid (planet_geometry.tpp:29-57):
+            # unit square, periodic x, z walls
+            n = 2 ** params.initial_global_refinement
+            nz, nx = num.nz or n, num.nx or n
+            return make_cuboid_2d(nz, nx, length_ref=L)
         nz, ny, nx = resolution_from_refinement("cuboid", params.initial_global_refinement)
         nz, ny, nx = num.nz or nz, num.ny or ny, num.nx or nx
         return make_cuboid(nz, ny, nx, length_ref=L)

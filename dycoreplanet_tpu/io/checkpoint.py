@@ -62,6 +62,95 @@ def save_checkpoint(path: str, state: State, metadata: Optional[dict] = None) ->
     return path
 
 
+def _leaf_names(state: State):
+    names = ["u", "p", "T", "time", "step_number"]
+    names += [f"u_face_{d}" for d in range(len(state.u_faces))]
+    return names
+
+
+def _leaf_arrays(state: State):
+    arrs = [state.u, state.p, state.T, state.time, state.step_number]
+    arrs += list(state.u_faces)
+    return arrs
+
+
+def save_checkpoint_sharded(path: str, state: State,
+                            metadata: Optional[dict] = None) -> str:
+    """Distributed checkpoint: one .npz per addressable shard holding
+    that shard's blocks of every state leaf (+ global shapes and index
+    ranges in the master .json) — the global array is NEVER
+    materialized on one process (the reference analogue is per-rank
+    output, boussinesq_model.tpp:1661-1691; checkpointing itself is a
+    capability the reference lacks). On a multi-host pod each process
+    writes only its own shards; restore re-places the blocks under any
+    sharding of the same global shape."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    names = _leaf_names(state)
+    arrs = _leaf_arrays(state)
+    ref = state.p  # canonical cell-array sharding
+    n_shards = len(ref.addressable_shards)
+    index_meta = {}
+    for k in range(n_shards):
+        blocks = {}
+        for name, a in zip(names, arrs):
+            # replicated leaves (time, step_number) also expose one
+            # shard per device — full-extent index, duplicated blocks
+            sh = a.addressable_shards[min(k, len(a.addressable_shards) - 1)]
+            blocks[name] = np.asarray(sh.data)
+            index_meta.setdefault(name, []).append(
+                [[s.start or 0,
+                  s.stop if s.stop is not None else dim]
+                 for s, dim in zip(
+                     (sh.index if sh.index else
+                      tuple(slice(0, d) for d in a.shape)),
+                     a.shape)])
+        np.savez(f"{path}.shard{k:03d}.npz", **blocks)
+    meta = dict(metadata or {})
+    meta["n_face_arrays"] = len(state.u_faces)
+    meta["n_shards"] = n_shards
+    meta["global_shapes"] = {n: list(a.shape)
+                             for n, a in zip(names, arrs)}
+    meta["dtypes"] = {n: str(np.dtype(a.dtype)) for n, a in zip(names, arrs)}
+    meta["shard_indices"] = index_meta
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f)
+    return path
+
+
+def load_checkpoint_sharded(path: str, sharding=None) -> Tuple[State, dict]:
+    """Restore a sharded checkpoint. ``sharding``: optional State of
+    NamedShardings (parallel.mesh.state_sharding) to place the arrays
+    under — defaults to single-device placement."""
+    import jax.numpy as jnp
+
+    with open(path + ".json") as f:
+        meta = json.load(f)
+    n_faces = meta["n_face_arrays"]
+    arrays = {}
+    for name, shape in meta["global_shapes"].items():
+        arrays[name] = np.zeros(shape, dtype=np.dtype(meta["dtypes"][name]))
+    for k in range(meta["n_shards"]):
+        data = np.load(f"{path}.shard{k:03d}.npz")
+        for name in arrays:
+            rngs = meta["shard_indices"][name][k]
+            sl = tuple(slice(a, b) for a, b in rngs)
+            arrays[name][sl] = data[name]
+    state = State(
+        u=jnp.asarray(arrays["u"]),
+        u_faces=tuple(jnp.asarray(arrays[f"u_face_{d}"])
+                      for d in range(n_faces)),
+        p=jnp.asarray(arrays["p"]),
+        T=jnp.asarray(arrays["T"]),
+        time=jnp.asarray(arrays["time"]),
+        step_number=jnp.asarray(arrays["step_number"]),
+    )
+    if sharding is not None:
+        import jax
+
+        state = jax.tree.map(jax.device_put, state, sharding)
+    return state, meta
+
+
 def load_checkpoint(path: str) -> Tuple[State, dict]:
     """Read a checkpoint written by save_checkpoint."""
     if not path.endswith(".npz"):

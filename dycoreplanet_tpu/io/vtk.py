@@ -24,10 +24,16 @@ import numpy as np
 from dycoreplanet_tpu.grid.geometry import Geometry
 
 
-def _cell_center_points(geo: Geometry) -> np.ndarray:
-    """(n_cells, 3) Cartesian coordinates of cell centers."""
+def _cell_center_points(geo: Geometry, sl=None) -> np.ndarray:
+    """(n_cells, 3) Cartesian coordinates of cell centers; ``sl`` is an
+    optional per-axis slice tuple selecting a sub-box (a shard)."""
     cs = [a.centers for a in geo.axes]
-    if geo.kind == "cuboid":
+    if sl is not None:
+        cs = [c[s] for c, s in zip(cs, sl)]
+    if geo.kind == "cuboid" and geo.dim == 2:
+        z, x = np.meshgrid(*cs, indexing="ij")
+        pts = np.stack([x, z, np.zeros_like(x)], axis=-1)
+    elif geo.kind == "cuboid":
         z, y, x = np.meshgrid(*cs, indexing="ij")
         pts = np.stack([x, y, z], axis=-1)
     elif geo.kind == "annulus":
@@ -42,15 +48,24 @@ def _cell_center_points(geo: Geometry) -> np.ndarray:
     return pts.reshape(-1, 3)
 
 
-def _local_to_cartesian_vectors(geo: Geometry, u: np.ndarray) -> np.ndarray:
+def _local_to_cartesian_vectors(geo: Geometry, u: np.ndarray,
+                                sl=None) -> np.ndarray:
     """Convert local-frame components (dim, *cells) to Cartesian (n,3)
-    for visualization parity with the reference's Cartesian velocity."""
+    for visualization parity with the reference's Cartesian velocity.
+    ``sl``: optional per-axis slices when ``u`` is a shard block."""
+    if geo.kind == "cuboid" and geo.dim == 2:
+        # components (z, x) -> (x, z, 0)
+        v = np.stack([u[1], u[0], np.zeros_like(u[0])], axis=-1)
+        return v.reshape(-1, 3)
     if geo.kind == "cuboid":
         # components (z, y, x) -> (x, y, z)
         v = np.stack([u[2], u[1], u[0]], axis=-1)
         return v.reshape(-1, 3)
     if geo.kind == "annulus":
-        phi = geo.axes[1].centers.reshape(1, -1)
+        phi_c = geo.axes[1].centers
+        if sl is not None:
+            phi_c = phi_c[sl[1]]
+        phi = phi_c.reshape(1, -1)
         ur, up = u[0], u[1]
         vx = ur * np.cos(phi) - up * np.sin(phi)
         vy = ur * np.sin(phi) + up * np.cos(phi)
@@ -59,16 +74,20 @@ def _local_to_cartesian_vectors(geo: Geometry, u: np.ndarray) -> np.ndarray:
     # shell
     lat = geo.extras["lat_centers"]
     lon = geo.extras["lon_centers"]
+    if sl is not None:
+        lat = lat[:, sl[1], :]
+        lon = lon[:, :, sl[2]]
     ur, ul, up = u[0], u[1], u[2]
-    cl, sl = np.cos(lat), np.sin(lat)
+    cl, slat = np.cos(lat), np.sin(lat)
     co, so = np.cos(lon), np.sin(lon)
-    vx = ur * cl * co - ul * sl * co - up * so
-    vy = ur * cl * so - ul * sl * so + up * co
-    vz = ur * sl + ul * cl
+    vx = ur * cl * co - ul * slat * co - up * so
+    vy = ur * cl * so - ul * slat * so + up * co
+    vz = ur * slat + ul * cl
+    shape = u.shape[1:]
     v = np.stack(
-        [np.broadcast_to(vx, geo.cell_shape),
-         np.broadcast_to(vy, geo.cell_shape),
-         np.broadcast_to(vz, geo.cell_shape)], axis=-1)
+        [np.broadcast_to(vx, shape),
+         np.broadcast_to(vy, shape),
+         np.broadcast_to(vz, shape)], axis=-1)
     return v.reshape(-1, 3)
 
 
@@ -109,35 +128,55 @@ def _b64_block(data: np.ndarray) -> str:
     return base64.b64encode(header + raw).decode("ascii")
 
 
+def _extent_str(geo: Geometry, sl=None) -> str:
+    """VTK extent string (axis i of the array = VTK extent axis i; the
+    fastest-varying VTK axis maps to our axis 0 via the transposes
+    below). ``sl``: per-axis slices for a piece, else the whole grid."""
+    shape = geo.cell_shape
+    parts = []
+    for d in range(geo.dim):
+        if sl is None:
+            a, b = 0, shape[d] - 1
+        else:
+            a = sl[d].start or 0
+            b = (sl[d].stop if sl[d].stop is not None else shape[d]) - 1
+        parts.append(f"{a} {b}")
+    while len(parts) < 3:
+        parts.append("0 0")
+    return " ".join(parts)
+
+
 def write_vts(
     path: str,
     geo: Geometry,
     scalars: Optional[Dict[str, np.ndarray]] = None,
     vectors: Optional[Dict[str, np.ndarray]] = None,
+    sl=None,
 ) -> str:
     """Write one .vts file. ``scalars[name]``: (*cells,); ``vectors[name]``:
-    (dim, *cells) local-frame components (converted to Cartesian)."""
+    (dim, *cells) local-frame components (converted to Cartesian).
+    ``sl``: optional per-axis slice tuple — writes a PIECE of the global
+    grid (shard-local arrays, global extents) for .pvts assembly."""
     scalars = scalars or {}
     vectors = vectors or {}
-    shape = geo.cell_shape
-    if geo.dim == 2:
-        nk, nj, ni = 1, shape[1], shape[0]
-        extent = f"0 {shape[0] - 1} 0 {shape[1] - 1} 0 0"
-    else:
-        extent = f"0 {shape[0] - 1} 0 {shape[1] - 1} 0 {shape[2] - 1}"
+    whole = _extent_str(geo, None)
+    extent = _extent_str(geo, sl)
+    shape = (geo.cell_shape if sl is None else
+             tuple(len(range(*s.indices(n)))
+                   for s, n in zip(sl, geo.cell_shape)))
     # VTK structured grids index fastest over the FIRST extent axis; our
     # arrays are C-ordered (last axis fastest) so transpose accordingly.
     def vtk_order_scalar(a: np.ndarray) -> np.ndarray:
         return np.ascontiguousarray(np.transpose(a))
 
-    pts = _cell_center_points(geo).reshape(shape + (3,))
+    pts = _cell_center_points(geo, sl).reshape(shape + (3,))
     pts_vtk = np.ascontiguousarray(
         np.transpose(pts, tuple(reversed(range(geo.dim))) + (geo.dim,)))
 
     lines = [
         '<?xml version="1.0"?>',
         '<VTKFile type="StructuredGrid" version="1.0" byte_order="LittleEndian" header_type="UInt32">',
-        f'  <StructuredGrid WholeExtent="{extent}">',
+        f'  <StructuredGrid WholeExtent="{whole}">',
         f'    <Piece Extent="{extent}">',
         "      <Points>",
         '        <DataArray type="Float32" NumberOfComponents="3" format="binary">',
@@ -154,7 +193,8 @@ def write_vts(
             "        </DataArray>",
         ]
     for name, arr in vectors.items():
-        v = _local_to_cartesian_vectors(geo, np.asarray(arr)).reshape(shape + (3,))
+        v = _local_to_cartesian_vectors(
+            geo, np.asarray(arr), sl).reshape(shape + (3,))
         v_vtk = np.ascontiguousarray(
             np.transpose(v, tuple(reversed(range(geo.dim))) + (geo.dim,)))
         lines += [
@@ -172,6 +212,70 @@ def write_vts(
     with open(path, "w") as f:
         f.write("\n".join(lines))
     return path
+
+
+def write_vts_sharded(
+    basepath: str,
+    geo: Geometry,
+    scalars: Optional[Dict] = None,
+    vectors: Optional[Dict] = None,
+) -> str:
+    """Distributed output: one .vts PIECE per addressable shard of the
+    (sharded jax) field arrays, plus a .pvts master referencing them —
+    the reference's per-rank .vtu + rank-0 .pvtu pipeline
+    (boussinesq_model.tpp:1661-1691) without ever materializing a
+    global array on one process. Arrays must share one sharding (the
+    canonical state layout guarantees this). Returns the .pvts path."""
+    scalars = scalars or {}
+    vectors = vectors or {}
+    ref = next(iter(scalars.values()), None)
+    if ref is None:
+        ref = next(iter(vectors.values()))
+    base, _ = os.path.splitext(basepath)
+    pieces = []
+    for k, shard in enumerate(ref.addressable_shards):
+        sl = shard.index
+        if len(sl) == geo.dim + 1:   # vector leading component axis
+            sl = sl[1:]
+        cell_sl = tuple(
+            s if isinstance(s, slice) else slice(s, s + 1) for s in sl)
+        piece_scalars = {
+            name: np.asarray(a.addressable_shards[k].data)
+            for name, a in scalars.items()
+        }
+        piece_vectors = {
+            name: np.asarray(a.addressable_shards[k].data)
+            for name, a in vectors.items()
+        }
+        piece_path = f"{base}.p{k:03d}.vts"
+        write_vts(piece_path, geo, scalars=piece_scalars,
+                  vectors=piece_vectors, sl=cell_sl)
+        pieces.append((os.path.basename(piece_path),
+                       _extent_str(geo, cell_sl)))
+
+    lines = [
+        '<?xml version="1.0"?>',
+        '<VTKFile type="PStructuredGrid" version="1.0" byte_order="LittleEndian">',
+        f'  <PStructuredGrid WholeExtent="{_extent_str(geo)}" GhostLevel="0">',
+        "    <PPoints>",
+        '      <PDataArray type="Float32" NumberOfComponents="3"/>',
+        "    </PPoints>",
+        "    <PPointData>",
+    ]
+    for name in scalars:
+        lines.append(f'      <PDataArray type="Float32" Name="{name}"/>')
+    for name in vectors:
+        lines.append(
+            f'      <PDataArray type="Float32" Name="{name}" NumberOfComponents="3"/>')
+    lines.append("    </PPointData>")
+    for fname, ext in pieces:
+        lines.append(f'    <Piece Extent="{ext}" Source="{fname}"/>')
+    lines += ["  </PStructuredGrid>", "</VTKFile>"]
+    pvts_path = base + ".pvts"
+    os.makedirs(os.path.dirname(pvts_path) or ".", exist_ok=True)
+    with open(pvts_path, "w") as f:
+        f.write("\n".join(lines))
+    return pvts_path
 
 
 def write_pvd(path: str, entries: Sequence[Dict]) -> str:

@@ -196,6 +196,10 @@ class BoussinesqModel:
         if ms == "auto":
             ms = "coupled" if params.use_FEEC_solver else "projection"
         self.momentum_solver = ms
+        # retry-with-stronger-preconditioner on outer non-convergence
+        # (reference: boussinesq_model.tpp:1203-1232); tests flip this
+        # to demonstrate the stiff-config failure it prevents
+        self._enable_solver_fallback = True
 
         self._setup_bcs()
         self._setup_static_fields()
@@ -225,9 +229,18 @@ class BoussinesqModel:
         if geo.kind == "cuboid" and geo.axes[0].periodic:
             # fully periodic validation domain (no reference analogue;
             # make_cuboid(periodic_z=True)): no walls anywhere
-            self.u_specs = [[None] * 3 for _ in range(3)]
-            self.p_specs = [None, None, None]
+            self.u_specs = [[None] * geo.dim for _ in range(geo.dim)]
+            self.p_specs = [None] * geo.dim
             self.T_wall_axis, self.T_wall_end = None, None
+        elif geo.kind == "cuboid" and geo.dim == 2:
+            # the reference's dim=2 cuboid (planet_geometry.tpp:29-57):
+            # (z, x) slab — no-slip bottom, w=0 + free-slip top
+            self.u_specs = [
+                [BCSpec(AS, AS), None],              # w (normal to z)
+                [BCSpec(AS, NEU), None],             # u
+            ]
+            self.p_specs = [BCSpec(NEU, NEU), None]
+            self.T_wall_axis, self.T_wall_end = 0, "lo"
         elif geo.kind == "cuboid":
             # z walls: bottom no-slip (all comps), top w=0 + free-slip
             self.u_specs = [
@@ -272,7 +285,7 @@ class BoussinesqModel:
         # --- gravity acceleration field (dim, *cells): rho-independent part
         # g_vec_hat = (L/u^2) * gravity_vector  (buoyancy multiplies by rho(T))
         if geo.kind == "cuboid":
-            gvec = np.zeros((3,) + geo.cell_shape)
+            gvec = np.zeros((geo.dim,) + geo.cell_shape)
             gvec[0] = -params.physical_constants.gravity_constant  # z-component
         else:
             # radial: -g for r>1 else -g sqrt(r)  (core_model_data.tpp:97-106)
@@ -323,8 +336,9 @@ class BoussinesqModel:
             centers = self._cell_center_coords()
             if geo.kind == "cuboid":
                 center = geo.extras["center"]
-                ic = TemperatureInitialValuesCuboid(3, jnp.asarray(center),
-                                                    float(geo.extras["diameter"]))
+                ic = TemperatureInitialValuesCuboid(
+                    geo.dim, jnp.asarray(center),
+                    float(geo.extras["diameter"]))
             else:
                 r0 = float(geo.axes[0].faces[0])
                 r1 = float(geo.axes[0].faces[-1])
@@ -490,7 +504,10 @@ class BoussinesqModel:
         the reference's Function-style ICs which are Cartesian."""
         geo = self.geo
         cs = [a.centers for a in geo.axes]
-        if geo.kind == "cuboid":
+        if geo.kind == "cuboid" and geo.dim == 2:
+            z, x = np.meshgrid(*cs, indexing="ij")
+            pts = np.stack([x, z], axis=-1)     # reference order (x,z)
+        elif geo.kind == "cuboid":
             z, y, x = np.meshgrid(*cs, indexing="ij")
             pts = np.stack([x, y, z], axis=-1)  # reference order (x,y,z)
         elif geo.kind == "annulus":
@@ -511,7 +528,10 @@ class BoussinesqModel:
         wall_val = geo.axes[axis].faces[0 if end == "lo" else -1]
         cs = [a.centers.copy() for a in geo.axes]
         cs[axis] = np.asarray([wall_val])
-        if geo.kind == "cuboid":
+        if geo.kind == "cuboid" and geo.dim == 2:
+            z, x = np.meshgrid(*cs, indexing="ij")
+            pts = np.stack([x, z], axis=-1)
+        elif geo.kind == "cuboid":
             z, y, x = np.meshgrid(*cs, indexing="ij")
             pts = np.stack([x, y, z], axis=-1)
         elif geo.kind == "annulus":
@@ -931,6 +951,31 @@ class BoussinesqModel:
             res = gmres(K_op, b, rtol=p.numerics.helmholtz_tol,
                         restart=30, maxiter=p.numerics.max_cg_iters,
                         preconditioner=M_inv)
+
+            if self._enable_solver_fallback:
+                # reference parity: on NoConvergence, retry with the
+                # STRONGER preconditioner setting — an inner solve of
+                # the velocity block instead of the Jacobi apply
+                # (boussinesq_model.tpp:1203-1232 catches NoConvergence
+                # and re-runs FGMRES(50) with do_full_solve=true,
+                # block_schur_preconditioner.hpp:59-67)
+                def M_inv_strong(rr):
+                    ru, rp = rr[:dim], rr[dim]
+                    phat = -poisson_inv(rp) / dt
+                    inner = cg(A_op, ru - G_op(phat),
+                               rtol=1e-6, maxiter=50,
+                               preconditioner=lambda r: r / helm_diag)
+                    return jnp.concatenate([inner.x, phat[None]], 0)
+
+                def retry(_):
+                    return gmres(K_op, b, x0=res.x,
+                                 rtol=p.numerics.helmholtz_tol,
+                                 restart=50,
+                                 maxiter=p.numerics.max_cg_iters,
+                                 preconditioner=M_inv_strong)
+
+                res = jax.lax.cond(res.converged, lambda _: res, retry,
+                                   None)
             u_sol, p_sol = res.x[:dim], res.x[dim]
             outer_iters = res.iterations
             outer_rnorm = res.residual_norm

@@ -49,6 +49,8 @@ def build_mesh(
     n = len(devices)
     if geo.kind == "annulus":
         return Mesh(np.asarray(devices).reshape(n), ("phi",))
+    if geo.kind == "cuboid" and geo.dim == 2:
+        return Mesh(np.asarray(devices).reshape(n), ("x",))
     a, b = _factor2(n)
     names = ("y", "x") if geo.kind == "cuboid" else ("lat", "lon")
     return Mesh(np.asarray(devices).reshape(a, b), names)
@@ -58,7 +60,7 @@ def mesh_shape_for(geo: Geometry, n_devices: Optional[int] = None) -> Tuple[int,
     """Shard counts per cell-array axis for the canonical layout
     (vertical axis unsharded) — e.g. for mesh partition visualization."""
     n = n_devices if n_devices is not None else len(jax.devices())
-    if geo.kind == "annulus":
+    if geo.kind == "annulus" or (geo.kind == "cuboid" and geo.dim == 2):
         return (1, n)
     a, b = _factor2(n)
     return (1, a, b)
@@ -68,6 +70,8 @@ def cell_pspec(geo: Geometry, mesh: Mesh) -> P:
     """PartitionSpec for a cell-centered array."""
     if geo.kind == "annulus":
         return P(None, "phi")
+    if geo.kind == "cuboid" and geo.dim == 2:
+        return P(None, "x")
     if geo.kind == "cuboid":
         return P(None, "y", "x")
     return P(None, "lat", "lon")

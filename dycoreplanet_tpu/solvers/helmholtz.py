@@ -279,6 +279,8 @@ def make_helmholtz_solver(geo: Geometry, wall_specs: Sequence[BCSpec],
     Unsupported wall rules / non-uniform cell volumes raise ValueError
     with their own message rather than silently degrading to None."""
     if geo.kind == "cuboid":
+        if geo.dim != 3:
+            return None  # 2D slab: CG path (no direct solver yet)
         return CuboidHelmholtzDirect(geo, wall_specs, dtype=dtype)
     if geo.kind == "annulus":
         return AnnulusHelmholtzDirect(geo, wall_specs, dtype=dtype,

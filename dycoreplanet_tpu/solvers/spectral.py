@@ -590,6 +590,45 @@ class ShellPoissonFastDiag:
         return x.astype(b.dtype), jnp.asarray(0, jnp.int32)
 
 
+class Cuboid2DPoissonFastDiag:
+    """Exact 2D-cuboid (z, x) solve: x real-DFT pair + z wall
+    eigentransform (the dim=2 reduction of CuboidPoissonFastDiag,
+    covering the reference's planet_geometry.tpp:29-57 dim=2 branch)."""
+
+    def __init__(self, geo: Geometry, dtype=jnp.float32,
+                 use_pallas: Optional[bool] = None):
+        assert geo.kind == "cuboid" and geo.dim == 2
+        self.geo = geo
+        nz, nx = geo.cell_shape
+        cx = float(_conductance(geo, 1)[0, 0])
+        mu_x2 = np.concatenate([_mu(nx, rfft=True)] * 2)
+        az = _conductance(geo, 0)[:, 0].astype(np.float64)     # (nz+1,)
+        Tz = (np.diag(az[:-1] + az[1:])
+              - np.diag(az[1:-1], 1) - np.diag(az[1:-1], -1))
+        D, Q = np.linalg.eigh(0.5 * (Tz + Tz.T))
+        denom = D[:, None] - cx * mu_x2[None, :]               # (nz, 2nmx)
+        tiny = 1e-10 * float(denom.max())
+        inv = np.where(denom > tiny, 1.0 / np.maximum(denom, tiny), 0.0)
+        Fx, Gx = _real_dft_pair(nx, np.float64)
+        f = lambda a: np.asarray(a, dtype=dtype)
+        self._Fx, self._Gx = f(Fx), f(Gx)
+        self._Q, self._inv = f(Q), f(inv)
+
+    def __call__(self, b: jnp.ndarray) -> jnp.ndarray:
+        return self.solve(b)[0]
+
+    def solve(self, b: jnp.ndarray):
+        acc = jnp.promote_types(b.dtype, jnp.float32)
+        hi = jax.lax.Precision.HIGHEST
+        bw = b.astype(acc)
+        h = jnp.einsum("kx,zx->zk", self._Fx, bw, precision=hi)
+        h = jnp.einsum("za,zk->ak", self._Q, h, precision=hi)
+        h = h * self._inv
+        h = jnp.einsum("za,ak->zk", self._Q, h, precision=hi)
+        x = jnp.einsum("xk,zk->zx", self._Gx, h, precision=hi)
+        return x.astype(b.dtype), jnp.asarray(0, jnp.int32)
+
+
 def _uniform_radial(geo: Geometry) -> bool:
     dr = np.diff(np.asarray(geo.axes[0].faces))
     return bool(np.allclose(dr, dr[0], rtol=1e-12, atol=0.0))
@@ -598,6 +637,8 @@ def _uniform_radial(geo: Geometry) -> bool:
 def make_poisson_solver(geo: Geometry, dtype=jnp.float32,
                         use_pallas: Optional[bool] = None, **kw):
     if geo.kind == "cuboid":
+        if geo.dim == 2:
+            return Cuboid2DPoissonFastDiag(geo, dtype=dtype)
         return CuboidPoissonFastDiag(geo, dtype=dtype)
     if geo.kind == "annulus":
         return AnnulusPoissonFastDiag(geo, dtype=dtype)

@@ -187,3 +187,38 @@ class TestFEECCoupled3x3:
         s = m.initial_state()
         s, d = m.step(s, p.time_step)
         assert d.poisson_residual < 1e-8 or d.helmholtz_residual < 1e-8
+
+
+class TestSolverFallback:
+    """Retry-with-stronger-preconditioner on outer non-convergence
+    (reference: boussinesq_model.tpp:1203-1232 catches NoConvergence and
+    re-runs FGMRES with the inner-solved velocity block)."""
+
+    def _stiff(self):
+        # Re = 0.02: the velocity block is Laplacian-dominated, the
+        # Jacobi u-sweep preconditioner stalls within max_cg_iters
+        p = _params(momentum_solver="coupled", max_cg_iters=12)
+        p.physical_constants.dynamic_viscosity = 50.0
+        p.physical_constants.__post_init__()
+        return p
+
+    def test_stiff_solve_fails_without_and_passes_with(self):
+        p = self._stiff()
+        m_no = BoussinesqModel(p)
+        m_no._enable_solver_fallback = False
+        _, d_no = m_no.step(m_no.initial_state(), p.time_step)
+
+        m_fb = BoussinesqModel(p)
+        _, d_fb = m_fb.step(m_fb.initial_state(), p.time_step)
+
+        # without the fallback the outer momentum residual stalls far
+        # above tolerance; the strong-preconditioner retry converges it
+        assert d_no.helmholtz_residual > 1e-5, d_no.helmholtz_residual
+        assert d_fb.helmholtz_residual < 1e-8, d_fb.helmholtz_residual
+
+    def test_fallback_not_triggered_when_converged(self):
+        # benign config: identical result with the fallback compiled in
+        p = _params(momentum_solver="coupled")
+        m = BoussinesqModel(p)
+        _, d = m.step(m.initial_state(), p.time_step)
+        assert d.helmholtz_residual < 1e-8

@@ -92,3 +92,103 @@ def test_timer_registry():
     assert reg.sections["work"].total >= 0.01
     out = reg.summary()
     assert "work" in out and "calls" in out
+
+
+class TestShardedIO:
+    """Distributed per-shard output + checkpoint on the 8-device
+    virtual mesh — the reference's per-rank .vtu + .pvtu pipeline
+    (boussinesq_model.tpp:1661-1691) without a global gather."""
+
+    def _sharded_state(self):
+        import jax
+        from dycoreplanet_tpu.base.params import Parameters
+        from dycoreplanet_tpu.models import BoussinesqModel
+        from dycoreplanet_tpu.parallel import build_mesh, shard_state, \
+            state_sharding
+
+        p = Parameters.from_text("")
+        p.space_dimension = 3
+        p.numerics.dtype = "float64"
+        p.numerics.n_radial, p.numerics.n_lat, p.numerics.n_lon = 4, 8, 16
+        p.physical_constants.R0 = 1.0
+        p.physical_constants.atm_height = 2.0
+        p.reference_quantities.velocity = 1.0
+        p.reference_quantities.length = 1.0
+        p.reference_quantities.temperature_ref = 2.0
+        m = BoussinesqModel(p)
+        mesh = build_mesh(m.geo)
+        s = m.initial_state()
+        rng = np.random.RandomState(3)
+        s = s._replace(
+            u=jnp.asarray(rng.randn(3, *m.geo.cell_shape)),
+            p=jnp.asarray(rng.randn(*m.geo.cell_shape)))
+        sharded = shard_state(s, m.geo, mesh)
+        return m, mesh, s, sharded
+
+    def test_pvts_pieces(self, tmp_path):
+        import xml.etree.ElementTree as ET
+        from dycoreplanet_tpu.io.vtk import write_vts_sharded
+
+        m, mesh, s_host, s = self._sharded_state()
+        pvts = write_vts_sharded(
+            str(tmp_path / "out.vts"), m.geo,
+            scalars={"temperature": s.T, "pressure": s.p},
+            vectors={"velocity": s.u})
+        root = ET.parse(pvts).getroot()
+        pieces = root.findall(".//Piece")
+        assert len(pieces) == 8
+        # every piece file exists and parses; extents tile the grid
+        cells_covered = 0
+        for piece in pieces:
+            f = tmp_path / piece.attrib["Source"]
+            assert f.exists()
+            pr = ET.parse(str(f)).getroot()
+            ext = [int(x) for x in
+                   pr.findall(".//Piece")[0].attrib["Extent"].split()]
+            n = 1
+            for d in range(3):
+                n *= ext[2 * d + 1] - ext[2 * d] + 1
+            cells_covered += n
+        assert cells_covered == m.geo.n_cells
+
+        # decoded piece data must equal the host slice of the field
+        import base64 as b64, struct as st_
+        piece0 = pieces[0].attrib["Source"]
+        pr = ET.parse(str(tmp_path / piece0)).getroot()
+        ext = [int(x) for x in
+               pr.findall(".//Piece")[0].attrib["Extent"].split()]
+        sl = tuple(slice(ext[2 * d], ext[2 * d + 1] + 1) for d in range(3))
+        for a in pr.findall(".//DataArray"):
+            if a.attrib.get("Name") == "temperature":
+                raw = b64.b64decode(a.text.strip())
+                (nbytes,) = st_.unpack("<I", raw[:4])
+                vals = np.frombuffer(raw[4:4 + nbytes], dtype=np.float32)
+                want = np.transpose(np.asarray(s_host.T)[sl]).ravel()
+                np.testing.assert_allclose(vals, want.astype(np.float32),
+                                           rtol=1e-6)
+
+    def test_sharded_checkpoint_roundtrip(self, tmp_path):
+        from dycoreplanet_tpu.io.checkpoint import (
+            load_checkpoint_sharded, save_checkpoint_sharded)
+        from dycoreplanet_tpu.parallel import state_sharding
+
+        m, mesh, s_host, s = self._sharded_state()
+        path = str(tmp_path / "ckpt")
+        save_checkpoint_sharded(path, s, {"note": "test"})
+        files = sorted(os.listdir(tmp_path))
+        assert sum(f.endswith(".npz") for f in files) == 8
+
+        # restore WITHOUT sharding: bitwise equality to the host state
+        r, meta = load_checkpoint_sharded(path)
+        assert meta["note"] == "test"
+        np.testing.assert_array_equal(np.asarray(r.u), np.asarray(s_host.u))
+        np.testing.assert_array_equal(np.asarray(r.T), np.asarray(s_host.T))
+        np.testing.assert_array_equal(np.asarray(r.u_faces[1]),
+                                      np.asarray(s_host.u_faces[1]))
+
+        # restore UNDER sharding: placement matches, then a sharded step
+        # runs from the restored state
+        sh = state_sharding(m.geo, mesh)
+        r2, _ = load_checkpoint_sharded(path, sharding=sh)
+        assert r2.p.sharding == sh.p
+        np.testing.assert_array_equal(np.asarray(r2.p), np.asarray(s_host.p))
