@@ -134,6 +134,13 @@ class Numerics:
     # SURVEY.md section 7.5); "physical" applies the documented
     # equations (2 Omega x u everywhere)
     coriolis_mode: str = "reference"
+    # FEEC personality realization: "coupled" solves the monolithic 3x3
+    # w-u-p block system on the collocated grid with rotational-form
+    # advection (reference parity: boussineq_model_FEEC.tpp:1268-1477);
+    # "staggered" runs the fully mimetic C-grid model — prognostic
+    # face-flux velocity, edge vorticity, exact div/curl identities in
+    # the dynamics (models/mimetic.py; cuboid + annulus geometries)
+    feec_formulation: str = "coupled"
     helmholtz_tol: float = 1e-8        # momentum solve rel tol (reference: tpp:1166 1e-8*rhs)
     temperature_tol: float = 1e-12     # temperature CG rel tol (reference: tpp:1431 1e-12*rhs)
     poisson_tol: float = 1e-8
@@ -160,6 +167,7 @@ class Numerics:
         "advection_scheme": ("muscl", "upwind", "centered"),
         "temperature_advection": ("eulerian", "semi-lagrangian"),
         "coriolis_mode": ("reference", "physical"),
+        "feec_formulation": ("coupled", "staggered"),
         "projection": ("incremental", "pressure-free"),
     }
 
@@ -281,6 +289,8 @@ class Parameters:
           "eulerian|semi-lagrangian temperature transport.")
         d(_NUM, "coriolis mode", "reference", "string",
           "reference|physical Coriolis treatment.")
+        d(_NUM, "feec formulation", "coupled", "string",
+          "coupled|staggered FEEC realization (staggered = mimetic C-grid).")
         d(_NUM, "n radial", "0", "integer", "Radial points override (0=derive).")
         d(_NUM, "n lat", "0", "integer", "Latitude points override.")
         d(_NUM, "n lon", "0", "integer", "Longitude points override.")
@@ -357,6 +367,7 @@ class Parameters:
             advection_scheme=prm.get(_NUM, "advection scheme"),
             temperature_advection=prm.get(_NUM, "temperature advection"),
             coriolis_mode=prm.get(_NUM, "coriolis mode"),
+            feec_formulation=prm.get(_NUM, "feec formulation"),
             n_radial=prm.get_integer(_NUM, "n radial"),
             n_lat=prm.get_integer(_NUM, "n lat"),
             n_lon=prm.get_integer(_NUM, "n lon"),

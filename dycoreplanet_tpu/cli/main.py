@@ -44,7 +44,11 @@ def print_parameter_info(params, model) -> None:
         ("Rayleigh number", f"{nondim.rayleigh_number(params.space_dimension, pc.gravity_constant, pc.expansion_coefficient, ref.temperature_change, ref.length, pc.kinematic_viscosity, pc.thermal_diffusivity):.6g}"),
         ("Geometry", model.geo.kind),
         ("Grid cells", " x ".join(str(n) for n in model.geo.cell_shape)),
-        ("Formulation", "FEEC/mimetic (rotational)" if params.use_FEEC_solver else "standard (advective)"),
+        ("Formulation",
+         ("FEEC mimetic (staggered C-grid)"
+          if params.numerics.feec_formulation == "staggered"
+          else "FEEC (rotational, coupled 3x3)")
+         if params.use_FEEC_solver else "standard (advective)"),
         ("Time step", f"{params.time_step}"),
         ("Final time", f"{params.final_time}"),
     ]
@@ -121,7 +125,7 @@ def _run(params, args) -> int:
     from dycoreplanet_tpu.diagnostics.timers import TimerRegistry
     from dycoreplanet_tpu.io.checkpoint import load_checkpoint, save_checkpoint
     from dycoreplanet_tpu.io.vtk import write_pvd, write_vts
-    from dycoreplanet_tpu.models import BoussinesqModel
+    from dycoreplanet_tpu.models import make_model
 
     if params.hello_from_cluster:
         import socket
@@ -131,7 +135,7 @@ def _run(params, args) -> int:
 
     timers = TimerRegistry()
     with timers.scope("setup: geometry + model"):
-        model = BoussinesqModel(params)
+        model = make_model(params)
     print_parameter_info(params, model)
 
     with timers.scope("setup: initial state"):

@@ -734,6 +734,31 @@ class BoussinesqModel:
         return res.x, res.iterations, res.residual_norm
 
     # ------------------------------------------------------------------
+    def _solve_pressure_poisson(self, rhs_phi):
+        """-weak_lap(phi) = rhs_phi via the configured strategy
+        (spectral direct / MG-CG / Jacobi-CG). Shared by the collocated
+        projection and the staggered mimetic model. Returns
+        (phi, iterations, residual_norm) with the -1 sentinel for
+        direct solves (StepDiagnostics docstring)."""
+        geo = self.geo
+        p = self.params
+
+        if self.poisson_spectral is not None:
+            phi, poisson_iters = self.poisson_spectral.solve(rhs_phi)
+            return phi, poisson_iters, jnp.asarray(-1.0, jnp.float32)
+
+        def poisson_op(x):
+            return -st.weak_laplacian(geo, x, self.p_specs)
+
+        precond = (self.poisson_precond if self.poisson_precond is not None
+                   else (lambda r: r / self.poisson_diag))
+        pres_res = cg(poisson_op, rhs_phi,
+                      rtol=p.numerics.poisson_tol,
+                      maxiter=p.numerics.max_cg_iters,
+                      preconditioner=precond)
+        return pres_res.x, pres_res.iterations, pres_res.residual_norm
+
+    # ------------------------------------------------------------------
     def _solve_momentum_projection(self, rhs_u, pres, dt):
         """Incremental pressure projection (the TPU-native default)."""
         geo = self.geo
@@ -788,21 +813,8 @@ class BoussinesqModel:
             rhs_phi = -vol * div_star / dt
             rhs_phi = rhs_phi - jnp.mean(rhs_phi)
 
-        def poisson_op(x):
-            return -st.weak_laplacian(geo, x, self.p_specs)
-
-        if self.poisson_spectral is not None:
-            phi, poisson_iters = self.poisson_spectral.solve(rhs_phi)
-            poisson_rnorm = jnp.asarray(-1.0, jnp.float32)  # direct/spectral
-        else:
-            precond = (self.poisson_precond if self.poisson_precond is not None
-                       else (lambda r: r / self.poisson_diag))
-            pres_res = cg(poisson_op, rhs_phi,
-                          rtol=p.numerics.poisson_tol,
-                          maxiter=p.numerics.max_cg_iters,
-                          preconditioner=precond)
-            phi, poisson_iters = pres_res.x, pres_res.iterations
-            poisson_rnorm = pres_res.residual_norm
+        phi, poisson_iters, poisson_rnorm = self._solve_pressure_poisson(
+            rhs_phi)
 
         # correction stage: the XLA-fused jnp chain measured FASTER than
         # the fused Pallas `correct` kernel on TPU v5e (0.020 vs

@@ -142,10 +142,10 @@ def curl_3d(geo: Geometry, u: jnp.ndarray,
         dz = lambda f, c: centered_gradient(geo, f, 0, specs[c][0])
         dy = lambda f, c: centered_gradient(geo, f, 1, specs[c][1])
         dx = lambda f, c: centered_gradient(geo, f, 2, specs[c][2])
-        # omega_z = dv/dx...? components ordered (z,y,x) like axes:
-        om_z = dy(uu, 2) - dx(v, 1)
-        om_y = dx(w, 0) - dz(uu, 2)
-        om_x = dz(v, 1) - dy(w, 0)
+        # physical right-handed curl, restacked into (z,y,x) ordering
+        om_x = dy(w, 0) - dz(v, 1)
+        om_y = dz(uu, 2) - dx(w, 0)
+        om_z = dx(v, 1) - dy(uu, 2)
         return jnp.stack([om_z, om_y, om_x])
     if geo.kind == "shell":
         r = jnp.asarray(geo.extras["r_centers"], dtype=u.dtype)
@@ -158,10 +158,10 @@ def curl_3d(geo: Geometry, u: jnp.ndarray,
         om_r = -d_cos_up / cosl + dlon_ul
         d_rup = centered_gradient(geo, r * up, 0, specs[2][0])
         dlon_ur = centered_gradient(geo, ur, 2, specs[0][2])
-        om_lat = d_rup / r - dlon_ur
+        om_lat = dlon_ur - d_rup / r
         dlat_ur = centered_gradient(geo, ur, 1, specs[0][1])
         d_rul = centered_gradient(geo, r * ul, 0, specs[1][0])
-        om_lon = dlat_ur - d_rul / r
+        om_lon = d_rul / r - dlat_ur
         return jnp.stack([om_r, om_lat, om_lon])
     raise ValueError(geo.kind)
 

@@ -30,6 +30,11 @@ CASES = {
                        over=dict(n_radial=8, n_lon=48)),
     "cube_3d_feec": dict(prm="aqua_planet_cube_test_3d.prm",
                          over=dict(nx=8, ny=8, nz=8)),
+    # the mimetic C-grid realization of the same FEEC config
+    # (models/mimetic.py; `feec formulation = staggered`)
+    "cube_3d_feec_staggered": dict(
+        prm="aqua_planet_cube_test_3d.prm",
+        over=dict(nx=8, ny=8, nz=8, feec_formulation="staggered")),
     "shell_3d_classic": dict(prm="aqua_planet_shell_test_3d-classic.prm",
                              over=dict(n_radial=4, n_lat=8, n_lon=16)),
     "shell_3d_feec": dict(prm="aqua_planet_shell_test_3d-feec.prm",
@@ -64,7 +69,7 @@ def _snapshot(state):
 
 def run_case(name, with_fields=True):
     from dycoreplanet_tpu.base.params import Parameters
-    from dycoreplanet_tpu.models import BoussinesqModel
+    from dycoreplanet_tpu.models import make_model
 
     case = CASES[name]
     path = os.path.join(HERE, "..", "data", case["prm"])
@@ -73,7 +78,7 @@ def run_case(name, with_fields=True):
     p.adapt_time_step = False           # fixed dt for reproducibility
     for k, v in case["over"].items():
         setattr(p.numerics, k, v)
-    m = BoussinesqModel(p)
+    m = make_model(p)
     s = m.initial_state()
     rows = []
     snaps = {}

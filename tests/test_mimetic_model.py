@@ -1,0 +1,364 @@
+"""MimeticBoussinesqModel structure-preservation tests.
+
+The discrete properties the staggered C-grid FEEC personality provides
+and the collocated projection path cannot (VERDICT round-1 item 3a):
+exact divergence, projection-invariant vorticity, energy-conserving
+advection+Coriolis, conservative heat transport — plus physics
+validation (Taylor-Green viscous decay through the mimetic curl-curl
+viscosity) and agreement with the collocated path on smooth flow.
+
+Reference analogue: the exactness the FEEC element complex guarantees
+(boussineq_model_FEEC.tpp:21-30); tested here as operator identities
+of the staggered lattice.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dycoreplanet_tpu.base.params import Parameters
+from dycoreplanet_tpu.grid.factory import make_annulus, make_cuboid
+from dycoreplanet_tpu.models.boussinesq import BoussinesqModel, StepDiagnostics
+from dycoreplanet_tpu.models.mimetic import MimeticBoussinesqModel
+from dycoreplanet_tpu.ops import stencil as st
+from dycoreplanet_tpu.ops import vector as vec
+
+
+def _params(dim=3, cuboid=True, **num):
+    p = Parameters.from_text("")
+    p.space_dimension = dim
+    p.cuboid_geometry = cuboid
+    p.numerics.dtype = "float64"
+    p.reference_quantities.velocity = 1.0
+    p.reference_quantities.length = 1.0
+    p.reference_quantities.temperature_ref = 3.0
+    if not cuboid:
+        p.physical_constants.R0 = 1.0
+        p.physical_constants.atm_height = 1.0
+    for k, v in num.items():
+        setattr(p.numerics, k, v)
+    return p
+
+
+def _periodic_cuboid_model(n=10, **num):
+    p = _params(**num)
+    geo = make_cuboid(n, n, n, periodic_z=True)
+    return MimeticBoussinesqModel(p, geometry=geo)
+
+
+def _annulus_model(n=8, **num):
+    p = _params(dim=2, cuboid=False, **num)
+    geo = make_annulus(n, 6 * n, 1.0, 2.0)
+    return MimeticBoussinesqModel(p, geometry=geo)
+
+
+def _smooth_faces(m):
+    def fn(d, mesh):
+        if m.geo.dim == 2:
+            r, x = mesh
+            if d == 0:
+                return np.sin(2 * np.pi * r) * np.cos(3 * x)
+            return np.cos(2 * np.pi * r) * np.sin(2 * x)
+        z, y, x = mesh
+        if d == 0:
+            return np.sin(2 * np.pi * x) * np.cos(2 * np.pi * y)
+        if d == 1:
+            return np.cos(2 * np.pi * z) * np.sin(2 * np.pi * x)
+        return np.sin(2 * np.pi * y) * np.cos(2 * np.pi * z)
+    return list(m.faces_from_velocity(fn))
+
+
+def _project(m, uf):
+    """Make a face field discretely divergence-free."""
+    geo = m.geo
+    vol = jnp.asarray(np.broadcast_to(geo.vol, geo.cell_shape))
+    rhs = -vol * st.divergence(geo, uf)
+    phi, _, _ = m._solve_pressure_poisson(rhs - jnp.mean(rhs))
+    return [m._apply_wall_face_values(
+        uf[d] + st.grad_left_faces(geo, phi, d, m.p_specs[d]), d)
+        for d in range(geo.dim)]
+
+
+# ----------------------------------------------------------------------
+# exact divergence in the dynamics
+# ----------------------------------------------------------------------
+@pytest.mark.parametrize("mk", [_periodic_cuboid_model, _annulus_model],
+                         ids=["cuboid", "annulus"])
+def test_step_divergence_machine_zero(mk):
+    m = mk()
+    s = m.state_from_faces(_smooth_faces(m))
+    for _ in range(3):
+        s, packed = m._jit_step(s, 0.005, m._const_values())
+    d = StepDiagnostics(packed, m.geo.dim)
+    # f64 direct Poisson: the prognostic faces are div-free to roundoff
+    assert d.div_norm < 1e-11, d.div_norm
+
+
+# ----------------------------------------------------------------------
+# the projection never creates vorticity (fails on the A-grid path)
+# ----------------------------------------------------------------------
+def test_projection_preserves_edge_vorticity():
+    m = _annulus_model()
+    sg = m.stag
+    geo = m.geo
+    uf = _smooth_faces(m)
+    phi = jnp.asarray(np.random.RandomState(0).randn(*geo.cell_shape))
+    corr = [m._apply_wall_face_values(
+        uf[d] - 0.1 * st.grad_left_faces(geo, phi, d, m.p_specs[d]), d)
+        for d in range(2)]
+    z0 = sg.vorticity(sg.expand(uf))
+    z1 = sg.vorticity(sg.expand(corr))
+    # exact at every interior edge, metric included (curl grad
+    # telescoping: the lam used in the circulation at the u_phi
+    # positions is exactly the face_dist grad_left_faces divides by);
+    # the wall rings are excluded — there the ghost closure (no-slip
+    # mirror) intervenes, the discrete analogue of projection methods'
+    # wall-vorticity generation
+    dz = float(jnp.max(jnp.abs((z1 - z0)[1:-1])))
+    zmag = float(jnp.max(jnp.abs(z0)))
+    assert dz / zmag < 1e-12, (dz, zmag)
+
+
+def test_prognostic_velocity_is_divergence_free_unlike_collocated():
+    """The RT-space membership property (div V_h in Q_h, reference
+    FEEC.tpp:21-30): the mimetic model's PROGNOSTIC velocity satisfies
+    the discrete continuity equation to roundoff, while the collocated
+    model's prognostic cell field only satisfies it to O(h^2) (its
+    div-free staggered faces are an auxiliary interpolant)."""
+    p = _params()
+    geo = make_cuboid(10, 10, 10)
+    mim = MimeticBoussinesqModel(p, geometry=geo)
+    p2 = _params()
+    col = BoussinesqModel(p2, geometry=geo)
+
+    def fn(d, mesh):
+        z, y, x = mesh
+        if d == 0:
+            return 0.1 * np.sin(2 * np.pi * x) * np.sin(np.pi * z)
+        return 0.1 * np.cos(2 * np.pi * x)
+
+    s_m = mim.state_from_faces(mim.faces_from_velocity(fn))
+    u0 = jnp.asarray(np.asarray(s_m.u))
+    s_c = col.initial_state()._replace(
+        u=u0,
+        u_faces=tuple(
+            col._apply_wall_face_values(
+                col._interp_component_to_faces(u0[c], c), c)
+            for c in range(3)))
+    for _ in range(3):
+        s_m, _ = mim._jit_step(s_m, 0.005, mim._const_values())
+        s_c, _ = col._jit_step(s_c, 0.005, col._const_values())
+
+    div_mim = float(jnp.max(jnp.abs(
+        st.divergence(geo, list(s_m.u_faces)))))
+    # divergence of the collocated PROGNOSTIC field (fresh interpolant,
+    # the field that advects everything next step)
+    faces_c = [col._apply_wall_face_values(
+        col._interp_component_to_faces(s_c.u[c], c), c) for c in range(3)]
+    div_col = float(jnp.max(jnp.abs(st.divergence(geo, faces_c))))
+    umax = float(jnp.max(jnp.abs(s_c.u)))
+    assert div_mim < 1e-11, div_mim
+    assert div_col > 1e3 * max(div_mim, 1e-30) and div_col > 1e-4 * umax, (
+        div_col, div_mim)
+
+
+# ----------------------------------------------------------------------
+# energy-conserving advection + Coriolis (fails on the A-grid path)
+# ----------------------------------------------------------------------
+def test_advection_coriolis_tendency_conserves_energy():
+    m = _periodic_cuboid_model()
+    sg = m.stag
+    uf = _project(m, _smooth_faces(m))
+    U = sg.expand(uf)
+    zeta = sg.vorticity(U)
+    q = [-zeta[0] + 2.0 * m.omega_hat, -zeta[1], -zeta[2]]
+    cross = sg.cross(q, U)
+    K = sg.kinetic_energy(U)
+    gradK = sg.grad_faces(K, m.scalar_specs)
+    tend = jnp.stack(sg.contract(
+        [cross[d] - gradK[d] for d in range(3)]))
+    w = jnp.asarray(m._w_stack)
+    ufs = jnp.stack(uf)
+    E_in = float(jnp.sum(w * ufs * tend))
+    E = float(jnp.sum(w * ufs * ufs))
+    assert abs(E_in) / E < 1e-13, E_in / E
+
+    # the collocated MUSCL advective form is dissipative by design —
+    # its energy input is far from zero on the same flow
+    u_cell = jnp.stack([sg.avg_f2c(U[c], c) for c in range(3)])
+    div_u = st.divergence(m.geo, uf)
+    adv = jnp.stack([
+        st.advect_scalar(m.geo, uf, u_cell[c], m.u_specs[c],
+                         scheme="muscl", form="advective", div_u=div_u)
+        for c in range(3)])
+    vol = jnp.asarray(np.broadcast_to(m.geo.vol, m.geo.cell_shape))
+    E_in_agrid = float(jnp.sum(vol * u_cell * (-adv)))
+    E_agrid = float(jnp.sum(vol * u_cell * u_cell))
+    assert abs(E_in_agrid) / E_agrid > 1e-4, E_in_agrid / E_agrid
+
+
+def test_kinetic_energy_drift_vanishes_with_dt():
+    """Forward-Euler energy drift of the inviscid unforced mimetic step
+    is O(dt) over a fixed horizon (spatially exact conservation); the
+    drift halves when dt halves."""
+    m = _periodic_cuboid_model(n=8)
+    m.one_over_Re = 0.0
+    m.beta = 0.0
+    m._gravity_face0 = np.zeros_like(m._gravity_face0)
+
+    def drift(dt, n_steps):
+        s = m.state_from_faces(_project(m, _smooth_faces(m)))
+        w = jnp.asarray(m._w_stack)
+        e0 = float(jnp.sum(w * jnp.stack(s.u_faces) ** 2))
+        for _ in range(n_steps):
+            s, _ = m._jit_step(s, dt, m._const_values())
+        e1 = float(jnp.sum(w * jnp.stack(s.u_faces) ** 2))
+        return abs(e1 - e0) / e0
+
+    d1 = drift(0.02, 4)
+    d2 = drift(0.01, 8)
+    assert d2 < 0.7 * d1, (d1, d2)  # first order in dt (exact in space)
+
+
+# ----------------------------------------------------------------------
+# conservative heat transport
+# ----------------------------------------------------------------------
+def test_heat_exactly_conserved_periodic():
+    m = _periodic_cuboid_model()
+    s = m.state_from_faces(_project(m, _smooth_faces(m)))
+    heat0 = float(st.volume_integral(m.geo, s.T))
+    for _ in range(5):
+        s, _ = m._jit_step(s, 0.005, m._const_values())
+    heat1 = float(st.volume_integral(m.geo, s.T))
+    assert abs(heat1 - heat0) / abs(heat0) < 1e-12, (heat0, heat1)
+
+
+# ----------------------------------------------------------------------
+# viscous physics through the mimetic curl-curl: Taylor-Green decay
+# ----------------------------------------------------------------------
+def test_taylor_green_decay_through_curlcurl():
+    m = _periodic_cuboid_model(n=16)
+    nu = 0.02
+    m.one_over_Re = nu
+    m.beta = 0.0
+    m.omega_hat = 0.0
+    m._gravity_face0 = np.zeros_like(m._gravity_face0)  # pure NSE decay
+    k = 2 * np.pi
+    amp = 1e-3  # small amplitude: nonlinear term negligible
+
+    def fn(d, mesh):
+        z, y, x = mesh
+        if d == 2:
+            return amp * np.sin(k * x) * np.cos(k * y)
+        if d == 1:
+            return -amp * np.cos(k * x) * np.sin(k * y)
+        return np.zeros_like(x)
+
+    s = m.state_from_faces(m.faces_from_velocity(fn))
+    w = jnp.asarray(m._w_stack)
+    e0 = float(jnp.sum(w * jnp.stack(s.u_faces) ** 2))
+    dt, n_steps = 2e-3, 40
+    for _ in range(n_steps):
+        s, _ = m._jit_step(s, dt, m._const_values())
+    e1 = float(jnp.sum(w * jnp.stack(s.u_faces) ** 2))
+    rate = -np.log(e1 / e0) / (n_steps * dt)
+    # discrete eigenvalue of the staggered curl-curl for the (k,k) mode:
+    # 2 * nu * 2 * (2/h sin(kh/2))^2 (energy decays at twice the field
+    # rate); backward-Euler diffusion adds O(dt) rate error
+    h = 1.0 / 16
+    k_d2 = (2.0 / h * np.sin(k * h / 2.0)) ** 2
+    exact = 2.0 * nu * 2.0 * k_d2
+    assert abs(rate - exact) / exact < 0.05, (rate, exact)
+
+
+# ----------------------------------------------------------------------
+# agreement with the collocated personality on smooth flow
+# ----------------------------------------------------------------------
+def test_matches_collocated_path_to_discretization_error():
+    p = _params(advection_scheme="centered")
+    geo = make_cuboid(12, 12, 12)
+    mim = MimeticBoussinesqModel(p, geometry=geo)
+    p2 = _params(advection_scheme="centered")
+    p2.use_FEEC_solver = True
+    p2.numerics.momentum_solver = "projection"
+    col = BoussinesqModel(p2, geometry=geo)
+
+    def fn(d, mesh):
+        z, y, x = mesh
+        if d == 0:
+            return 0.05 * np.sin(2 * np.pi * x) * np.sin(np.pi * z)
+        if d == 1:
+            return 0.05 * np.cos(2 * np.pi * x)
+        return 0.05 * np.ones_like(x)
+
+    s_m = mim.state_from_faces(mim.faces_from_velocity(fn))
+    u0 = np.stack([np.asarray(s_m.u[c]) for c in range(3)])
+    s_c = col.initial_state()._replace(
+        u=jnp.asarray(u0),
+        u_faces=tuple(
+            col._apply_wall_face_values(
+                col._interp_component_to_faces(jnp.asarray(u0[c]), c), c)
+            for c in range(3)))
+    dt = 0.005
+    for _ in range(4):
+        s_m, _ = mim._jit_step(s_m, dt, mim._const_values())
+        s_c, _ = col._jit_step(s_c, dt, col._const_values())
+    scale = float(jnp.max(jnp.abs(s_c.u)))
+    du = float(jnp.max(jnp.abs(s_m.u - s_c.u)))
+    dT = float(jnp.max(jnp.abs(s_m.T - s_c.T)))
+    Tscale = float(jnp.max(jnp.abs(s_c.T)))
+    assert du / scale < 0.15, (du, scale)
+    assert dT / Tscale < 0.02, (dT, Tscale)
+
+
+# ----------------------------------------------------------------------
+# SPD implicit operator
+# ----------------------------------------------------------------------
+@pytest.mark.parametrize("mk", [
+    lambda: MimeticBoussinesqModel(_params(), geometry=make_cuboid(6, 6, 6)),
+    _annulus_model,
+], ids=["cuboid-walls", "annulus"])
+def test_curlcurl_symmetric_psd(mk):
+    m = mk()
+    sg = m.stag
+    dim = m.geo.dim
+    rng = np.random.RandomState(1)
+
+    def cc(x):
+        U = sg.expand([x[d] for d in range(dim)])
+        return jnp.stack(sg.contract(sg.curlcurl_weighted(U)))
+
+    x = jnp.asarray(rng.randn(dim, *m.geo.cell_shape))
+    y = jnp.asarray(rng.randn(dim, *m.geo.cell_shape))
+    sym = float(jnp.sum(y * cc(x)) - jnp.sum(x * cc(y)))
+    nrm = float(jnp.sum(jnp.abs(x * cc(x))))
+    assert abs(sym) / nrm < 1e-12, sym
+    assert float(jnp.sum(x * cc(x))) >= 0.0
+
+
+# ----------------------------------------------------------------------
+# full-physics smoke: buoyant annulus and 2D slab spin-up
+# ----------------------------------------------------------------------
+def test_annulus_mimetic_spins_up_stably():
+    m = _annulus_model()
+    s = m.initial_state()
+    for _ in range(10):
+        s, packed = m._jit_step(s, 0.01, m._const_values())
+    d = StepDiagnostics(packed, 2)
+    assert np.isfinite(d.max_velocity) and d.max_velocity > 0.0
+    assert d.div_norm < 1e-11
+    assert np.all(np.isfinite(np.asarray(s.u)))
+
+
+def test_cuboid2d_mimetic_steps():
+    from dycoreplanet_tpu.grid.factory import make_cuboid_2d
+
+    p = _params(dim=2)
+    geo = make_cuboid_2d(8, 8)
+    m = MimeticBoussinesqModel(p, geometry=geo)
+    s = m.initial_state()
+    for _ in range(5):
+        s, packed = m._jit_step(s, 0.01, m._const_values())
+    d = StepDiagnostics(packed, 2)
+    assert d.div_norm < 1e-11
+    assert np.all(np.isfinite(np.asarray(s.u)))

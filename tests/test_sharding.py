@@ -93,3 +93,45 @@ def test_sharded_state_layout():
     spec = s.T.sharding.spec
     assert spec == P(None, "lat", "lon")
     assert s.u.sharding.spec == P(None, None, "lat", "lon")
+
+
+def test_mimetic_single_vs_eight_devices():
+    """The staggered mimetic step is GSPMD-clean: 1-device vs 8-device
+    sharded runs agree to reduction-order tolerance (the staggered ops
+    are rolls/pads/slices, so the partitioner inserts halo permutes
+    exactly as for the collocated stencils)."""
+    from dycoreplanet_tpu.models.mimetic import MimeticBoussinesqModel
+
+    p = _model("cuboid").params
+    p.numerics.feec_formulation = "staggered"
+    m = MimeticBoussinesqModel(p)
+
+    def fn(d, mesh_c):
+        z, y, x = mesh_c
+        if d == 0:
+            return 0.1 * np.sin(2 * np.pi * x) * np.sin(np.pi * z)
+        return 0.1 * np.cos(2 * np.pi * x)
+
+    dt = p.time_step
+    s1 = m.state_from_faces(m.faces_from_velocity(fn))
+    s1_0 = s1
+    for _ in range(3):
+        s1, d1 = m.step(s1, dt)
+
+    mesh = build_mesh(m.geo)
+    s8 = shard_state(s1_0, m.geo, mesh)
+    sh = state_sharding(m.geo, mesh)
+    rep = NamedSharding(mesh, P())
+    step8 = jax.jit(
+        m._step_impl, in_shardings=(sh, rep), out_shardings=(sh, rep),
+    )
+    for _ in range(3):
+        s8, _ = step8(s8, dt)
+
+    np.testing.assert_allclose(np.asarray(s8.u), np.asarray(s1.u),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(s8.T), np.asarray(s1.T),
+                               rtol=1e-9, atol=1e-11)
+    for a, b in zip(s8.u_faces, s1.u_faces):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-11)
