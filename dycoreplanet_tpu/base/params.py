@@ -141,6 +141,13 @@ class Numerics:
     # face-flux velocity, edge vorticity, exact div/curl identities in
     # the dynamics (models/mimetic.py; cuboid + annulus geometries)
     feec_formulation: str = "coupled"
+    # with helmholtz_solver = "auto"/"cg": number of straight-line
+    # Jacobi-Richardson steps tried BEFORE falling back to the CG
+    # while_loop (solvers/fixed.py). The mass-dominated systems at the
+    # reference configs converge within these, so the common path has
+    # no while_loop scaffolding; tolerance semantics are unchanged
+    # (exact residual check + lax.cond fallback). 0 = always CG.
+    fixed_solver_iters: int = 2
     helmholtz_tol: float = 1e-8        # momentum solve rel tol (reference: tpp:1166 1e-8*rhs)
     temperature_tol: float = 1e-12     # temperature CG rel tol (reference: tpp:1431 1e-12*rhs)
     poisson_tol: float = 1e-8
@@ -278,6 +285,8 @@ class Parameters:
         d(_NUM, "temperature tol", "1e-12", "double", "Temperature CG relative tolerance.")
         d(_NUM, "poisson tol", "1e-8", "double", "Pressure Poisson relative tolerance.")
         d(_NUM, "max cg iters", "500", "integer", "CG iteration cap.")
+        d(_NUM, "fixed solver iters", "2", "integer",
+          "Jacobi-Richardson steps before the CG fallback (0 = always CG).")
         d(_NUM, "projection", "incremental", "string", "incremental|pressure-free.")
         d(_NUM, "momentum solver", "auto", "string",
           "auto|projection|coupled (auto = coupled for FEEC, else projection).")
@@ -361,6 +370,7 @@ class Parameters:
             temperature_tol=prm.get_double(_NUM, "temperature tol"),
             poisson_tol=prm.get_double(_NUM, "poisson tol"),
             max_cg_iters=prm.get_integer(_NUM, "max cg iters"),
+            fixed_solver_iters=prm.get_integer(_NUM, "fixed solver iters"),
             projection=prm.get(_NUM, "projection"),
             momentum_solver=prm.get(_NUM, "momentum solver"),
             buoyancy=prm.get(_NUM, "buoyancy"),

@@ -270,6 +270,9 @@ def _run_chunked(params, args, model, state, timers, output) -> int:
             if chunk <= 0:
                 break
         with timers.scope("step: NSE + temperature solve (chunked)"):
+            # multi_step internally retries the chunk with full CG if
+            # any fixed-iteration solve missed tolerance (reference
+            # NoConvergence retry semantics, tpp:1203-1232)
             state, packed, dt_out = model.multi_step(
                 state, dt, chunk, collect_diagnostics=True,
                 adaptive=params.adapt_time_step)

@@ -59,6 +59,7 @@ from dycoreplanet_tpu.physics.initial_data import (
     TemperatureInitialValuesCuboid,
 )
 from dycoreplanet_tpu.solvers.cg import cg
+from dycoreplanet_tpu.solvers.fixed import richardson_solve
 from dycoreplanet_tpu.solvers.gmres import gmres
 from dycoreplanet_tpu import linear_algebra as la
 
@@ -100,13 +101,13 @@ class StepDiagnostics:
     def pack(cfl, max_velocity, T_min, T_max, div_norm, poisson_iters,
              temperature_iters, helmholtz_iters,
              helmholtz_residual=0.0, poisson_residual=0.0,
-             temperature_residual=0.0) -> jnp.ndarray:
+             temperature_residual=0.0, solver_ok=1.0) -> jnp.ndarray:
         head = jnp.stack([
             jnp.asarray(v, jnp.float32).reshape(())
             for v in (cfl, max_velocity, T_min, T_max, div_norm,
                       poisson_iters, temperature_iters,
                       helmholtz_residual, poisson_residual,
-                      temperature_residual)
+                      temperature_residual, solver_ok)
         ])
         helm = jnp.asarray(helmholtz_iters, jnp.float32).reshape(-1)
         return jnp.concatenate([head, helm])
@@ -157,8 +158,18 @@ class StepDiagnostics:
         return float(self._h()[9])
 
     @property
+    def solver_ok(self) -> bool:
+        """All iterative solves of this step met their tolerance. False
+        triggers the host-level escalation (the fast fixed-iteration
+        path hands the step to full CG — the reference's NoConvergence
+        retry pattern, boussinesq_model.tpp:1203-1232). Over a
+        multi_step chunk with collect_diagnostics=False this reports
+        the AND across all scanned steps."""
+        return bool(self._h()[10] > 0.5)
+
+    @property
     def helmholtz_iters(self) -> np.ndarray:
-        return self._h()[10:].astype(np.int32)
+        return self._h()[11:].astype(np.int32)
 
 
 class BoussinesqModel:
@@ -216,6 +227,10 @@ class BoussinesqModel:
             self._proj_pallas = make_shell_projection(
                 geo, self, use_pallas=params.numerics.use_pallas)
         self._setup_const_registry()
+        # trace-time escalation switch: True makes every iterative solve
+        # take the full CG path regardless of fixed_solver_iters (the
+        # strong retry of the host-level NoConvergence handling)
+        self._force_cg = False
         self._jit_step = jax.jit(self._step_consts)
 
     # ------------------------------------------------------------------
@@ -663,9 +678,10 @@ class BoussinesqModel:
             helm_iters = [outer_iters] * dim
             poisson_iters = outer_iters
             helm_rnorm = poisson_rnorm = outer_rnorm
+            momentum_ok = jnp.asarray(True)  # GMRES retry handled inline
         else:
             (u_new, p_new, new_faces, helm_iters, poisson_iters,
-             helm_rnorm, poisson_rnorm) = \
+             helm_rnorm, poisson_rnorm, momentum_ok) = \
                 self._solve_momentum_projection(rhs_u, pres, dt)
 
         # ---------------- temperature (implicit diffusion) -------------
@@ -675,7 +691,8 @@ class BoussinesqModel:
         rhs_T = vol * T_adv + dt_T * self.one_over_Pe * self.T_lap_offset
 
         kT = dt_T * self.one_over_Pe
-        T_new, T_iters, T_rnorm = self._solve_temperature_system(rhs_T, kT, T)
+        T_new, T_iters, T_rnorm, T_ok = self._solve_temperature_system(
+            rhs_T, kT, T)
 
         # ---------------- diagnostics ----------------------------------
         speed = st.cell_max_speed(geo, u_new)
@@ -687,7 +704,8 @@ class BoussinesqModel:
             jnp.max(jnp.abs(div_new)),
             poisson_iters, T_iters, jnp.stack(helm_iters),
             helmholtz_residual=helm_rnorm, poisson_residual=poisson_rnorm,
-            temperature_residual=T_rnorm)
+            temperature_residual=T_rnorm,
+            solver_ok=jnp.logical_and(momentum_ok, T_ok))
         new_state = State(
             u=u_new, u_faces=tuple(new_faces), p=p_new, T=T_new,
             time=state.time + dt_T,
@@ -714,11 +732,12 @@ class BoussinesqModel:
     def _solve_temperature_system(self, rhs_T, kT, x0):
         """(vol - kT * weak_lap_hom) T = rhs_T, direct when available
         (reference: temperature CG at 1e-12*rhs, tpp:1426-1440).
-        Returns (T_new, iterations, residual_norm)."""
+        Returns (T_new, iterations, residual_norm, converged)."""
+        ok = jnp.asarray(True)
         if self.temperature_direct is not None:
             T_new = self.temperature_direct.solve(rhs_T[None], kT)[0]
             return (T_new, jnp.asarray(-1, jnp.int32),
-                    jnp.asarray(-1.0, jnp.float32))  # -1 = direct solve
+                    jnp.asarray(-1.0, jnp.float32), ok)  # -1 = direct
         geo = self.geo
         vol = self.vol
         p = self.params
@@ -727,25 +746,32 @@ class BoussinesqModel:
             return vol * x - kT * st.weak_laplacian(geo, x, self.T_specs_hom)
 
         diag_T = vol + kT * self.T_diag
-        res = cg(temp_op, rhs_T, x0=x0,
-                 rtol=p.numerics.temperature_tol,
-                 maxiter=p.numerics.max_cg_iters,
-                 preconditioner=lambda r: r / diag_T)
-        return res.x, res.iterations, res.residual_norm
+        k_fix = 0 if self._force_cg else p.numerics.fixed_solver_iters
+        if k_fix > 0:
+            res = richardson_solve(temp_op, rhs_T, x0, diag=diag_T,
+                                   iters=k_fix,
+                                   rtol=p.numerics.temperature_tol)
+        else:
+            res = cg(temp_op, rhs_T, x0=x0,
+                     rtol=p.numerics.temperature_tol,
+                     maxiter=p.numerics.max_cg_iters,
+                     preconditioner=lambda r: r / diag_T)
+        return res.x, res.iterations, res.residual_norm, res.converged
 
     # ------------------------------------------------------------------
     def _solve_pressure_poisson(self, rhs_phi):
         """-weak_lap(phi) = rhs_phi via the configured strategy
         (spectral direct / MG-CG / Jacobi-CG). Shared by the collocated
         projection and the staggered mimetic model. Returns
-        (phi, iterations, residual_norm) with the -1 sentinel for
-        direct solves (StepDiagnostics docstring)."""
+        (phi, iterations, residual_norm, converged) with the -1
+        sentinel for direct solves (StepDiagnostics docstring)."""
         geo = self.geo
         p = self.params
 
         if self.poisson_spectral is not None:
             phi, poisson_iters = self.poisson_spectral.solve(rhs_phi)
-            return phi, poisson_iters, jnp.asarray(-1.0, jnp.float32)
+            return (phi, poisson_iters, jnp.asarray(-1.0, jnp.float32),
+                    jnp.asarray(True))
 
         def poisson_op(x):
             return -st.weak_laplacian(geo, x, self.p_specs)
@@ -756,7 +782,8 @@ class BoussinesqModel:
                       rtol=p.numerics.poisson_tol,
                       maxiter=p.numerics.max_cg_iters,
                       preconditioner=precond)
-        return pres_res.x, pres_res.iterations, pres_res.residual_norm
+        return (pres_res.x, pres_res.iterations, pres_res.residual_norm,
+                pres_res.converged)
 
     # ------------------------------------------------------------------
     def _solve_momentum_projection(self, rhs_u, pres, dt):
@@ -773,6 +800,7 @@ class BoussinesqModel:
         # bigger fused stencils, one set of reductions
         coef = dt * self.one_over_Re
 
+        helm_ok = jnp.asarray(True)
         if self.helmholtz_direct is not None:
             u_star = self.helmholtz_direct.solve(vol[None] * rhs_u, coef)
             helm_iters = [jnp.asarray(-1, jnp.int32)] * dim  # -1 = direct
@@ -785,13 +813,20 @@ class BoussinesqModel:
                 ])
 
             helm_diag = vol[None] + coef * self.helm_diags
-            helm_res = cg(helm_op, vol[None] * rhs_u, x0=rhs_u,
-                          rtol=p.numerics.helmholtz_tol,
-                          maxiter=p.numerics.max_cg_iters,
-                          preconditioner=lambda r: r / helm_diag)
+            k_fix = 0 if self._force_cg else p.numerics.fixed_solver_iters
+            if k_fix > 0:
+                helm_res = richardson_solve(
+                    helm_op, vol[None] * rhs_u, rhs_u, diag=helm_diag,
+                    iters=k_fix, rtol=p.numerics.helmholtz_tol)
+            else:
+                helm_res = cg(helm_op, vol[None] * rhs_u, x0=rhs_u,
+                              rtol=p.numerics.helmholtz_tol,
+                              maxiter=p.numerics.max_cg_iters,
+                              preconditioner=lambda r: r / helm_diag)
             u_star = helm_res.x
             helm_iters = [helm_res.iterations] * dim
             helm_rnorm_out = helm_res.residual_norm
+            helm_ok = helm_res.converged
 
         # ---------------- pressure projection --------------------------
         fused = self._proj_pallas
@@ -813,8 +848,8 @@ class BoussinesqModel:
             rhs_phi = -vol * div_star / dt
             rhs_phi = rhs_phi - jnp.mean(rhs_phi)
 
-        phi, poisson_iters, poisson_rnorm = self._solve_pressure_poisson(
-            rhs_phi)
+        phi, poisson_iters, poisson_rnorm, poisson_ok = \
+            self._solve_pressure_poisson(rhs_phi)
 
         # correction stage: the XLA-fused jnp chain measured FASTER than
         # the fused Pallas `correct` kernel on TPU v5e (0.020 vs
@@ -842,7 +877,8 @@ class BoussinesqModel:
             p_new = p_new - st.volume_mean(geo, p_new)
 
         return (u_new, p_new, new_faces, helm_iters, poisson_iters,
-                helm_rnorm_out, poisson_rnorm)
+                helm_rnorm_out, poisson_rnorm,
+                jnp.logical_and(helm_ok, poisson_ok))
 
     # ------------------------------------------------------------------
     def _solve_momentum_coupled(self, rhs_u, dt):
@@ -1158,6 +1194,41 @@ class BoussinesqModel:
         return new_state, StepDiagnostics(packed, self.geo.dim)
 
     # ------------------------------------------------------------------
+    def _consts_cg(self, impl, state, dt, cvals):
+        """Trace ``impl`` with every iterative solve forced onto the
+        full CG path (the strong-solver retry)."""
+        old = self._force_cg
+        self._force_cg = True
+        try:
+            with self._bound_consts(cvals):
+                return impl(state, dt)
+        finally:
+            self._force_cg = old
+
+    def step_strong(self, state: State, dt: float):
+        """Re-run one step with the full CG solves — the host-level
+        escalation taken when ``diagnostics.solver_ok`` is False on the
+        fixed-iteration fast path (the reference catches NoConvergence
+        and retries the solve with a stronger preconditioner setting,
+        boussinesq_model.tpp:1203-1232; here the whole step is redone
+        from the SAME input state, so the result is exactly what the
+        slow path would have produced)."""
+        if not hasattr(self, "_jit_step_cg"):
+            self._jit_step_cg = jax.jit(
+                partial(self._consts_cg, self._step_impl))
+        new_state, packed = self._jit_step_cg(state, dt,
+                                              self._const_values())
+        return new_state, StepDiagnostics(packed, self.geo.dim)
+
+    def temperature_step_strong(self, state: State, dt: float):
+        if not hasattr(self, "_jit_temp_step_cg"):
+            self._jit_temp_step_cg = jax.jit(
+                partial(self._consts_cg, self._temperature_step_impl))
+        new_state, packed = self._jit_temp_step_cg(state, dt,
+                                                   self._const_values())
+        return new_state, StepDiagnostics(packed, self.geo.dim)
+
+    # ------------------------------------------------------------------
     def _dt_scaling_const(self) -> float:
         """Static prefactor of the reference CFL formula
         (boussinesq_model.tpp:1104-1125) — shared by the host and
@@ -1168,7 +1239,8 @@ class BoussinesqModel:
 
     def multi_step(self, state: State, dt, n_steps: int,
                    collect_diagnostics: bool = True,
-                   adaptive: bool = False):
+                   adaptive: bool = False,
+                   force_cg: bool = False):
         """Advance ``n_steps`` steps inside ONE jitted lax.scan.
 
         Production throughput mode: a Python-level step loop pays one
@@ -1216,29 +1288,60 @@ class BoussinesqModel:
                             % self.params.NSE_solver_interval) == 0
                 return jnp.where(boundary, dt_new, dt_now)
 
-            def scan_steps(state, dt, cvals, n, collect, adapt):
-                with self._bound_consts(cvals):
-                    def body(carry, _):
-                        s, dt_now = carry
-                        ns, packed = one_step(s, dt_now)
-                        dt_next = next_dt(ns, packed, dt_now, adapt)
-                        return (ns, dt_next), (packed if collect else None)
+            def scan_steps(state, dt, cvals, n, collect, adapt, strong):
+                old_force = self._force_cg
+                self._force_cg = strong or old_force
+                try:
+                    with self._bound_consts(cvals):
+                        def body(carry, _):
+                            s, dt_now, okmin = carry
+                            ns, packed = one_step(s, dt_now)
+                            dt_next = next_dt(ns, packed, dt_now, adapt)
+                            okmin = jnp.minimum(okmin, packed[10])
+                            return ((ns, dt_next, okmin),
+                                    (packed if collect else None))
 
-                    if collect:
-                        (s, dt_out), packed = jax.lax.scan(
-                            body, (state, dt), None, length=n)
-                        return s, packed, dt_out
-                    (s, dt_now), _ = jax.lax.scan(
-                        body, (state, dt), None, length=n - 1)
-                    s, packed = one_step(s, dt_now)
-                    dt_out = next_dt(s, packed, dt_now, adapt)
-                    return s, packed[None], dt_out
+                        ok0 = jnp.asarray(1.0, jnp.float32)
+                        if collect:
+                            (s, dt_out, _), packed = jax.lax.scan(
+                                body, (state, dt, ok0), None, length=n)
+                            return s, packed, dt_out
+                        (s, dt_now, okmin), _ = jax.lax.scan(
+                            body, (state, dt, ok0), None, length=n - 1)
+                        s, packed = one_step(s, dt_now)
+                        dt_out = next_dt(s, packed, dt_now, adapt)
+                        # solver_ok reports the AND across ALL scanned
+                        # steps (StepDiagnostics.solver_ok docstring)
+                        packed = packed.at[10].set(
+                            jnp.minimum(okmin, packed[10]))
+                        return s, packed[None], dt_out
+                finally:
+                    self._force_cg = old_force
 
             self._jit_multi_step = jax.jit(
-                scan_steps, static_argnames=("n", "collect", "adapt"))
-        return self._jit_multi_step(state, jnp.asarray(dt, self.dtype),
-                                    self._const_values(),
-                                    n_steps, collect_diagnostics, adaptive)
+                scan_steps,
+                static_argnames=("n", "collect", "adapt", "strong"))
+        out = self._jit_multi_step(state, jnp.asarray(dt, self.dtype),
+                                   self._const_values(),
+                                   n_steps, collect_diagnostics, adaptive,
+                                   force_cg)
+        if not force_cg and self.params.numerics.fixed_solver_iters > 0:
+            # honesty gate of the fixed-iteration fast path: if ANY
+            # scanned step's solve missed its tolerance, redo the whole
+            # chunk with full CG from the ORIGINAL state (host-level
+            # NoConvergence retry — reference boussinesq_model.tpp:
+            # 1203-1232). Costs one packed-scalar pull per chunk.
+            ok = float(np.asarray(out[1][:, 10]).min())
+            if ok < 0.5:
+                import warnings
+
+                warnings.warn(
+                    "fixed-iteration solver missed tolerance; retrying "
+                    "chunk with full CG", RuntimeWarning, stacklevel=2)
+                return self.multi_step(state, dt, n_steps,
+                                       collect_diagnostics, adaptive,
+                                       force_cg=True)
+        return out
 
     # ------------------------------------------------------------------
     def _temperature_step_impl(self, state: State, dt: jnp.ndarray):
@@ -1256,7 +1359,8 @@ class BoussinesqModel:
         T_adv = self._advected_temperature(state.u, state.u_faces, T, dt_T)
         rhs_T = vol * T_adv + dt_T * self.one_over_Pe * self.T_lap_offset
         kT = dt_T * self.one_over_Pe
-        T_new, T_iters, T_rnorm = self._solve_temperature_system(rhs_T, kT, T)
+        T_new, T_iters, T_rnorm, T_ok = self._solve_temperature_system(
+            rhs_T, kT, T)
         speed = st.cell_max_speed(geo, state.u)
         packed = StepDiagnostics.pack(
             jnp.max(jnp.maximum(speed, 1e-10) / self.diameter),
@@ -1264,7 +1368,7 @@ class BoussinesqModel:
             jnp.max(jnp.abs(st.divergence(geo, list(state.u_faces)))),
             jnp.asarray(0, jnp.int32), T_iters,
             jnp.zeros((geo.dim,), jnp.int32),
-            temperature_residual=T_rnorm)
+            temperature_residual=T_rnorm, solver_ok=T_ok)
         new_state = state._replace(T=T_new, time=state.time + dt_T,
                                    step_number=state.step_number + 1)
         return new_state, packed
@@ -1304,10 +1408,23 @@ class BoussinesqModel:
             # NSE solved at step 0 and every interval-th step; the other
             # iterations advance temperature only (reference:
             # boussinesq_model.tpp:1867-1905)
-            if n % p.NSE_solver_interval == 0:
+            nse_step = n % p.NSE_solver_interval == 0
+            state_prev = state
+            if nse_step:
                 state, diag = self.step(state, dt)
             else:
                 state, diag = self.temperature_step(state, dt)
+            # host-level escalation of the fixed-iteration fast path:
+            # redo the step with full CG when any solve missed its
+            # tolerance (reference NoConvergence retry semantics,
+            # boussinesq_model.tpp:1203-1232)
+            if (p.numerics.fixed_solver_iters > 0
+                    and not diag.solver_ok):
+                if nse_step:
+                    state, diag = self.step_strong(state_prev, dt)
+                else:
+                    state, diag = self.temperature_step_strong(
+                        state_prev, dt)
             rec = {
                 "step": n,
                 "time": time_index,

@@ -206,7 +206,7 @@ class MimeticBoussinesqModel(BoussinesqModel):
         div_star = st.divergence(geo, uf_star)
         rhs_phi = -vol * div_star / dt
         rhs_phi = rhs_phi - jnp.mean(rhs_phi)
-        phi, poisson_iters, poisson_rnorm = self._solve_pressure_poisson(
+        phi, poisson_iters, poisson_rnorm, _poisson_ok = self._solve_pressure_poisson(
             rhs_phi)
         phi = phi - st.volume_mean(geo, phi)
 
@@ -230,7 +230,8 @@ class MimeticBoussinesqModel(BoussinesqModel):
         T_adv = self._advected_temperature(state.u, state.u_faces, T, dt_T)
         rhs_T = vol * T_adv + dt_T * self.one_over_Pe * self.T_lap_offset
         kT = dt_T * self.one_over_Pe
-        T_new, T_iters, T_rnorm = self._solve_temperature_system(rhs_T, kT, T)
+        T_new, T_iters, T_rnorm, T_ok = self._solve_temperature_system(
+            rhs_T, kT, T)
 
         # ---------------- diagnostics ---------------------------------
         speed = st.cell_max_speed(geo, u_new)
@@ -243,7 +244,8 @@ class MimeticBoussinesqModel(BoussinesqModel):
             poisson_iters, T_iters,
             jnp.stack([helm_it] * dim),
             helmholtz_residual=helm_rnorm, poisson_residual=poisson_rnorm,
-            temperature_residual=T_rnorm)
+            temperature_residual=T_rnorm,
+            solver_ok=jnp.logical_and(T_ok, _poisson_ok))
         new_state = State(
             u=u_new, u_faces=tuple(new_faces), p=p_new, T=T_new,
             time=state.time + dt_T,

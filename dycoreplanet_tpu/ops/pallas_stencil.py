@@ -134,6 +134,11 @@ class ShellForcingPallas:
         self.dlat = float(np.pi / nlat)
 
         # ---- metric channel stack (K, nr, nlat) ----------------------
+        # Divides dominate the kernel's VPU time (measured ~3x above the
+        # HBM traffic bound with plain x/metric divides), so every
+        # metric that only ever appears in a denominator is stored as
+        # its host-precomputed RECIPROCAL and applied by multiply. The
+        # only remaining divides are the data-dependent van Leer slopes.
         b2 = lambda a: np.broadcast_to(np.asarray(a, np.float64)[..., 0],
                                        (nr, nlat))
         area_r = np.broadcast_to(np.asarray(geo.face_area[0], np.float64),
@@ -150,16 +155,18 @@ class ShellForcingPallas:
         gr2 = gfull[..., 0]
         cosl = np.cos(np.asarray(geo.axes[1].centers, np.float64))
         dlon = 2.0 * np.pi / nlon
+        dist_lon = rc * cosl[None, :] * dlon
         self.M = f(np.stack([
-            b2(geo.vol),                       # 0 vol
+            1.0 / b2(geo.vol),                 # 0 1/vol
             area_r[:nr],                       # 1 ar_lo
             area_r[1:],                        # 2 ar_hi
             area_lat[:, :nlat],                # 3 alat_lo
-            area_lat[:, 1:],                   # 4 alat_hi (pole row = 0)
+            1.0 / (2.0 * dist_lon),            # 4 1/(2 dist_lon)
             b2(geo.face_area[2]),              # 5 alon
-            rc * cosl[None, :] * dlon,         # 6 dist_lon
-            rc,                                # 7 r_c
+            1.0 / rc,                          # 6 1/r_c
+            1.0 / (2.0 * rc * self.dlat),      # 7 1/(2 r_c dlat)
             gr2,                               # 8 g_r
+            1.0 / (rc * cosl[None, :]) ** 2,   # 9 1/(r_c cos)^2
         ]))
         self.K = self.M.shape[0]
 
@@ -271,9 +278,10 @@ class ShellForcingPallas:
             Tb = T_ref_[:]
             M = M_ref[:]                         # (K, blk, nlat)
             m = lambda k: M[k][:, :, None]       # (blk, nlat, 1)
-            vol, ar_lo, ar_hi = m(0), m(1), m(2)
+            inv_vol, ar_lo, ar_hi = m(0), m(1), m(2)
             alat_lo = m(3)
-            alon, dist_lon, r_c, g_r = m(5), m(6), m(7), m(8)
+            alon, inv_2dlon, inv_rc = m(5), m(4), m(6)
+            inv_2rcdlat, g_r, inv_rcos2 = m(7), m(8), m(9)
 
             # ---------- radial (axis 0 of block) ----------------------
             p2r = jnp.concatenate([H[:, :2], ch, H[:, 2:]], axis=1)
@@ -314,15 +322,15 @@ class ShellForcingPallas:
             dq_o = alon * f2                      # rank 3: lon axis = 2
             div_o = jnp.roll(dq_o, -1, axis=2) - dq_o
 
-            div_u = (div_r + div_l + div_o) / vol
-            adv = (adv_r + adv_l + adv_o) / vol - u3 * div_u[None]
+            div_u = (div_r + div_l + div_o) * inv_vol
+            adv = (adv_r + adv_l + adv_o) * inv_vol - u3 * div_u[None]
 
             # ---------- curvature of (u.grad)u -------------------------
             ur, ul, up = u3[0], u3[1], u3[2]
-            adv = adv + jnp.stack([
-                -(ul * ul + up * up) / r_c,
-                ur * ul / r_c + up * up * tanl / r_c,
-                ur * up / r_c - ul * up * tanl / r_c,
+            adv = adv + inv_rc * jnp.stack([
+                -(ul * ul + up * up),
+                ur * ul + up * up * tanl,
+                ur * up - ul * up * tanl,
             ])
 
             # ---------- Coriolis ---------------------------------------
@@ -347,23 +355,23 @@ class ShellForcingPallas:
             buoy = jnp.stack([buoy_r, zero, zero])
 
             # ---------- viscous curvature corrections ------------------
-            # physical angular derivatives: (pad[j+2]-pad[j]) / (2 r dlat)
+            # physical angular derivatives: (pad[j+2]-pad[j]) * 1/(2 r dlat)
             pl_u = pole_pad1(u3, True)
             d_lat = lambda c: ((pl_u[c, :, 2:, :] - pl_u[c, :, :-2, :])
-                               / (2.0 * r_c * dlat))
+                               * inv_2rcdlat)
             d_lon = lambda c: ((jnp.roll(u3[c], -1, axis=2)
                                 - jnp.roll(u3[c], 1, axis=2))
-                               / (2.0 * dist_lon))
+                               * inv_2dlon)
             dlat_ur, dlat_ul = d_lat(0), d_lat(1)
             dlon_ur, dlon_ul, dlon_up = d_lon(0), d_lon(1), d_lon(2)
-            rcos2 = (r_c * cosl) ** 2
+            tl_rc = tanl * inv_rc
             visc = iRe * jnp.stack([
-                -2.0 * ur / r_c**2
-                - 2.0 / r_c * (dlat_ul - ul * tanl / r_c + dlon_up),
-                2.0 / r_c * dlat_ur - ul / rcos2
-                + 2.0 * tanl / r_c * dlon_up,
-                2.0 / r_c * dlon_ur - 2.0 * tanl / r_c * dlon_ul
-                - up / rcos2,
+                -2.0 * ur * inv_rc * inv_rc
+                - 2.0 * inv_rc * (dlat_ul + dlon_up) + 2.0 * ul * tl_rc * inv_rc,
+                2.0 * inv_rc * dlat_ur - ul * inv_rcos2
+                + 2.0 * tl_rc * dlon_up,
+                2.0 * inv_rc * dlon_ur - 2.0 * tl_rc * dlon_ul
+                - up * inv_rcos2,
             ])
 
             forcing = -adv + cor + buoy + visc
@@ -371,11 +379,11 @@ class ShellForcingPallas:
             # ---------- pressure gradient ------------------------------
             if include_gradp:
                 ppr = p2r[3, 1:blk + 3]          # p with +-1 radial ghosts
-                gp_r = (ppr[2:] - ppr[:-2]) / (2.0 * dr)
+                gp_r = (ppr[2:] - ppr[:-2]) * (1.0 / (2.0 * dr))
                 ppl = pole_pad1(ch[3][None], False)[0]
-                gp_l = (ppl[:, 2:, :] - ppl[:, :-2, :]) / (2.0 * r_c * dlat)
+                gp_l = (ppl[:, 2:, :] - ppl[:, :-2, :]) * inv_2rcdlat
                 gp_o = (jnp.roll(ch[3], -1, axis=2)
-                        - jnp.roll(ch[3], 1, axis=2)) / (2.0 * dist_lon)
+                        - jnp.roll(ch[3], 1, axis=2)) * inv_2dlon
                 forcing = forcing - jnp.stack([gp_r, gp_l, gp_o])
 
             out_ref[:] = u3 + dt * forcing

@@ -79,7 +79,10 @@ def cg(
         x, r, p, rz, k, rnorm, x_best, rbest = state
         ok = jnp.logical_and(k < maxiter, rnorm > stop)
         # divergence guard: finite-precision CG past attainable accuracy
-        return jnp.logical_and(ok, rnorm < 4.0 * rbest + stop)
+        # blows up by orders of magnitude; the 32x headroom tolerates the
+        # transient (preconditioned) residual oscillation of healthy CG
+        # on ill-conditioned systems, which can exceed 4x the best seen
+        return jnp.logical_and(ok, rnorm < 32.0 * rbest + stop)
 
     def body(state):
         x, r, p, rz, k, _, x_best, rbest = state

@@ -73,7 +73,7 @@ def _project(m, uf):
     geo = m.geo
     vol = jnp.asarray(np.broadcast_to(geo.vol, geo.cell_shape))
     rhs = -vol * st.divergence(geo, uf)
-    phi, _, _ = m._solve_pressure_poisson(rhs - jnp.mean(rhs))
+    phi, _, _, _ = m._solve_pressure_poisson(rhs - jnp.mean(rhs))
     return [m._apply_wall_face_values(
         uf[d] + st.grad_left_faces(geo, phi, d, m.p_specs[d]), d)
         for d in range(geo.dim)]

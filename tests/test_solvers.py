@@ -70,3 +70,71 @@ def test_cg_poisson_annulus_with_nullspace():
     res = cg(op, b, rtol=1e-11, maxiter=2000)
     x = res.x - st.volume_mean(g, res.x)
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_true), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# richardson_solve: the straight-line fast path (solvers/fixed.py).
+# There is deliberately no in-graph fallback (a lax.cond costs ~0.3
+# ms/step inside the scanned production loop); the converged flag must
+# be HONEST so the model's host-level CG retry can fire.
+
+from dycoreplanet_tpu.solvers import richardson_solve
+
+
+def test_richardson_mass_dominated_converges():
+    """A = D + small offdiag: a few Richardson steps meet the tolerance
+    (the regime of the reference-config Helmholtz systems)."""
+    rng = np.random.RandomState(3)
+    n = 64
+    off = rng.randn(n, n) * 0.002
+    A = np.eye(n) + 0.5 * (off + off.T)
+    A = A @ A.T  # SPD, strongly diagonal dominant
+    d = jnp.asarray(np.diag(A))
+    b = jnp.asarray(rng.randn(n))
+    res = richardson_solve(lambda x: jnp.asarray(A) @ x, b, b / d,
+                           diag=d, iters=3, rtol=1e-5)
+    assert bool(res.converged)
+    assert int(res.iterations) == 3
+    r = np.asarray(b - jnp.asarray(A) @ res.x)
+    assert np.linalg.norm(r) <= 1e-4 * np.linalg.norm(np.asarray(b))
+    # the reported residual norm is the exactly-tracked one
+    np.testing.assert_allclose(float(res.residual_norm),
+                               np.linalg.norm(r), rtol=1e-6)
+
+
+def test_richardson_reports_nonconvergence_honestly():
+    """Ill-conditioned SPD system: 2 Richardson steps cannot converge
+    and the flag must say so (the model escalates on it)."""
+    rng = np.random.RandomState(4)
+    n = 48
+    Q, _ = np.linalg.qr(rng.randn(n, n))
+    lam = np.geomspace(1.0, 3e3, n)
+    A = (Q * lam) @ Q.T
+    d = jnp.asarray(np.diag(A).copy())
+    b = jnp.asarray(rng.randn(n))
+    res = richardson_solve(lambda x: jnp.asarray(A) @ x, b,
+                           jnp.zeros_like(b), diag=d, iters=2, rtol=1e-8)
+    assert not bool(res.converged)
+
+
+def test_richardson_matches_cg_solution_helmholtz():
+    """On the cuboid Helmholtz operator both paths solve to the same
+    tolerance; solutions agree to solver accuracy."""
+    geo = make_cuboid(nz=8, ny=8, nx=8)
+    specs = [BCSpec(BC.ANTISYM, BC.NEUMANN), None, None]
+    vol = jnp.asarray(np.broadcast_to(geo.vol, geo.cell_shape))
+    k = 0.0002  # mass-dominated regime (rho ~ 0.07)
+
+    def op(x):
+        return vol * x - k * st.weak_laplacian(geo, x, specs)
+
+    from dycoreplanet_tpu.ops.diagonal import weak_laplacian_diagonal
+    diag = vol + k * jnp.asarray(-weak_laplacian_diagonal(geo, specs))
+    rng = np.random.RandomState(5)
+    b = vol * jnp.asarray(rng.randn(*geo.cell_shape))
+    r1 = richardson_solve(op, b, b / diag, diag=diag, iters=8, rtol=1e-9)
+    r2 = cg(op, b, rtol=1e-9, maxiter=300,
+            preconditioner=lambda r: r / diag)
+    assert bool(r1.converged) and bool(r2.converged)
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x),
+                               rtol=1e-5, atol=1e-8)
