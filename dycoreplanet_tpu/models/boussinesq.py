@@ -653,9 +653,14 @@ class BoussinesqModel:
         dt_T = dt / p.NSE_solver_interval
 
         # ---------------- explicit forcing from step n ----------------
+        T_adv_fused = None
         if (self._forcing_pallas is not None
                 and self.momentum_solver != "coupled"):
-            rhs_u = self._forcing_pallas(u, u_faces, T, pres, dt)
+            out = self._forcing_pallas(u, u_faces, T, pres, dt)
+            if self._forcing_pallas.advect_T:
+                rhs_u, T_adv_fused = out  # T transport fused in the pass
+            else:
+                rhs_u = out
             forcing = None
         else:
             forcing = self._explicit_forcing(u, u_faces, pres, T)
@@ -687,7 +692,8 @@ class BoussinesqModel:
         # ---------------- temperature (implicit diffusion) -------------
         # advect with the OLD velocity (reference: assemble_temperature_rhs
         # runs before solve_NSE, boussinesq_model.tpp:1883-1905)
-        T_adv = self._advected_temperature(u, u_faces, T, dt_T)
+        T_adv = (T_adv_fused if T_adv_fused is not None
+                 else self._advected_temperature(u, u_faces, T, dt_T))
         rhs_T = vol * T_adv + dt_T * self.one_over_Pe * self.T_lap_offset
 
         kT = dt_T * self.one_over_Pe

@@ -104,6 +104,8 @@ class ShellForcingPallas:
                  gravity_r: np.ndarray, one_over_Re: float,
                  omega_hat: float, coriolis_mode: str,
                  buoyancy: str, scheme: str, include_gradp: bool,
+                 advect_T: bool = False, T_wall=None,
+                 dt_T_factor: float = 1.0,
                  block_rows: Optional[int] = None,
                  interpret: bool = False):
         assert geo.kind == "shell"
@@ -175,19 +177,32 @@ class ShellForcingPallas:
         self.c_cos = f(cosl.reshape(1, nlat, 1))
         self.c_tan = f(np.tan(latc).reshape(1, nlat, 1))
         self.c_sin = f(np.sin(latc).reshape(1, nlat, 1))
+        # ---- fused temperature transport ------------------------------
+        # T is already streamed through the kernel for buoyancy; with
+        # advect_T the same pass also produces the explicit transport
+        # substep T - dt_T * (u . grad T) (the jnp oracle:
+        # ops/stencil.py advect_scalar, form="advective"), sharing the
+        # face velocities, metric channels and div(u) already in VMEM.
+        self.advect_T = bool(advect_T)
+        self.dt_T_factor = float(dt_T_factor)
+        if self.advect_T:
+            # Dirichlet wall value at the inner boundary (reference:
+            # temperature constraints boussinesq_model.tpp:338-387)
+            self.T_wall = np.ascontiguousarray(
+                np.broadcast_to(np.asarray(T_wall, dtype),
+                                (nlat, nlon))).astype(dtype)
         self._kernel_cache = {}
 
     # ------------------------------------------------------------------
-    def _radial_halos(self, ch: jnp.ndarray) -> jnp.ndarray:
-        """(nb, 4, 4, nlat, nlon) halo rows for the channel stack
-        [u_r, u_lat, u_lon, p]: rows 0:2 = the two cells (or wall
-        ghosts) below the block, rows 2:4 = the two above. Matches the
-        global pad_axis + _widen_to_2ghosts layout (outermost ghost
-        replicated) exactly."""
+    def _radial_halos(self, ch: jnp.ndarray, lo_sign, hi_sign) -> jnp.ndarray:
+        """(nb, C, 4, nlat, nlon) halo rows for a (C, nr, ...) channel
+        stack: rows 0:2 = the two cells (or wall ghosts) below the
+        block, rows 2:4 = the two above. Matches the global pad_axis +
+        _widen_to_2ghosts layout (outermost ghost replicated) exactly."""
         blk, nb = self.blk, self.nb
-        lo_s = jnp.asarray(self._LO_SIGN, ch.dtype).reshape(4, 1, 1, 1)
-        hi_s = jnp.asarray(self._HI_SIGN, ch.dtype).reshape(4, 1, 1, 1)
-        g_lo = lo_s * ch[:, 0:1]          # (4, 1, nlat, nlon)
+        lo_s = jnp.asarray(lo_sign, ch.dtype).reshape(-1, 1, 1, 1)
+        hi_s = jnp.asarray(hi_sign, ch.dtype).reshape(-1, 1, 1, 1)
+        g_lo = lo_s * ch[:, 0:1]          # (C, 1, nlat, nlon)
         g_hi = hi_s * ch[:, -1:]
         halos = []
         for i in range(nb):
@@ -196,6 +211,22 @@ class ShellForcingPallas:
             bot = (jnp.concatenate([g_hi, g_hi], axis=1) if i == nb - 1
                    else ch[:, (i + 1) * blk:(i + 1) * blk + 2])
             halos.append(jnp.concatenate([top, bot], axis=1))
+        return jnp.stack(halos)
+
+    def _T_halos(self, T: jnp.ndarray) -> jnp.ndarray:
+        """(nb, 4, nlat, nlon) radial halo rows for the temperature:
+        lo = Dirichlet mirror 2*T_wall - T[0] (outermost replicated, as
+        _widen_to_2ghosts), hi = Neumann copy of T[-1]."""
+        blk, nb = self.blk, self.nb
+        g_lo = 2.0 * jnp.asarray(self.T_wall, T.dtype)[None] - T[0:1]
+        g_hi = T[-1:]
+        halos = []
+        for i in range(nb):
+            top = (jnp.concatenate([g_lo, g_lo], axis=0) if i == 0
+                   else T[i * blk - 2:i * blk])
+            bot = (jnp.concatenate([g_hi, g_hi], axis=0) if i == nb - 1
+                   else T[(i + 1) * blk:(i + 1) * blk + 2])
+            halos.append(jnp.concatenate([top, bot], axis=0))
         return jnp.stack(halos)
 
     def _f0_halo(self, f0: jnp.ndarray) -> jnp.ndarray:
@@ -212,8 +243,11 @@ class ShellForcingPallas:
         nr, nlat, nlon = self.shape
         blk, nb = self.blk, self.nb
         dtype = u.dtype
-        ch = jnp.concatenate([u, pres[None]], axis=0)  # (4, nr, nlat, nlon)
-        H = self._radial_halos(ch)
+        # u and p stay SEPARATE kernel operands: a concatenated channel
+        # stack would materialize a fresh 16 MB copy every step
+        Hu = self._radial_halos(u, self._LO_SIGN[:3], self._HI_SIGN[:3])
+        Hp = self._radial_halos(pres[None], self._LO_SIGN[3:],
+                                self._HI_SIGN[3:])
         f0h = self._f0_halo(u_faces[0])
         dt_arr = jnp.asarray(dt, dtype).reshape(1, 1)
 
@@ -225,8 +259,13 @@ class ShellForcingPallas:
         lat_c = jnp.asarray(np.stack([
             self.c_cos[0, :, 0], self.c_tan[0, :, 0], self.c_sin[0, :, 0],
         ]), dtype)
-        return call(dt_arr, ch, H, u_faces[0], f0h, u_faces[1], u_faces[2],
-                    T, jnp.asarray(self.M, dtype), lat_c)
+        if self.advect_T:
+            HT = self._T_halos(T)
+            return call(dt_arr, u, pres, Hu, Hp, HT, u_faces[0], f0h,
+                        u_faces[1], u_faces[2], T,
+                        jnp.asarray(self.M, dtype), lat_c)
+        return call(dt_arr, u, pres, Hu, Hp, u_faces[0], f0h, u_faces[1],
+                    u_faces[2], T, jnp.asarray(self.M, dtype), lat_c)
 
     # ------------------------------------------------------------------
     def _build_call(self, dtype):
@@ -265,15 +304,24 @@ class ShellForcingPallas:
                 g_lo, g_hi = flip_vec(g_lo), flip_vec(g_hi)
             return jnp.concatenate([g_lo, x, g_hi], axis=-2)
 
-        def kernel(dt_ref, ch_ref, H_ref, f0_ref, f0h_ref, f1_ref, f2_ref,
-                   T_ref_, M_ref, lat_ref, out_ref):
+        advect_T = self.advect_T
+        dt_T_factor = self.dt_T_factor
+
+        def kernel(dt_ref, u_ref, p_ref, Hu_ref, Hp_ref, *rest):
+            if advect_T:
+                (HT_ref, f0_ref, f0h_ref, f1_ref, f2_ref, T_ref_, M_ref,
+                 lat_ref, out_ref, Tout_ref) = rest
+            else:
+                (f0_ref, f0h_ref, f1_ref, f2_ref, T_ref_, M_ref,
+                 lat_ref, out_ref) = rest
             cosl = lat_ref[0].reshape(1, nlat, 1)
             tanl = lat_ref[1].reshape(1, nlat, 1)
             sinl = lat_ref[2].reshape(1, nlat, 1)
             dt = dt_ref[0, 0]
-            ch = ch_ref[:]                       # (4, blk, nlat, nlon)
-            H = H_ref[0]                         # (4, 4, nlat, nlon)
-            u3 = ch[:3]
+            u3 = u_ref[:]                        # (3, blk, nlat, nlon)
+            pp = p_ref[:]                        # (blk, nlat, nlon)
+            Hu = Hu_ref[0]                       # (3, 4, nlat, nlon)
+            Hp = Hp_ref[0]                       # (1, 4, nlat, nlon)
             f0, f1, f2 = f0_ref[:], f1_ref[:], f2_ref[:]
             Tb = T_ref_[:]
             M = M_ref[:]                         # (K, blk, nlat)
@@ -284,11 +332,11 @@ class ShellForcingPallas:
             inv_2rcdlat, g_r, inv_rcos2 = m(7), m(8), m(9)
 
             # ---------- radial (axis 0 of block) ----------------------
-            p2r = jnp.concatenate([H[:, :2], ch, H[:, 2:]], axis=1)
+            p2r = jnp.concatenate([Hu[:, :2], u3, Hu[:, 2:]], axis=1)
             # MUSCL face values for blk+1 radial faces (incl. the upper
             # seam face, consumed by the shifted flux)
             f0_ext = jnp.concatenate([f0, f0h_ref[0]], axis=0)
-            fv_r = _muscl_faces(p2r[:3], f0_ext[None], 1, blk + 1, scheme)
+            fv_r = _muscl_faces(p2r, f0_ext[None], 1, blk + 1, scheme)
             ar_ext = jnp.concatenate([ar_lo, ar_hi[-1:]], axis=0)
             aq_r = ar_ext * f0_ext[None] * fv_r
             adv_r = aq_r[:, 1:] - aq_r[:, :-1]
@@ -378,46 +426,100 @@ class ShellForcingPallas:
 
             # ---------- pressure gradient ------------------------------
             if include_gradp:
-                ppr = p2r[3, 1:blk + 3]          # p with +-1 radial ghosts
+                # p with +-1 radial ghosts (halo rows 1 and 2 are the
+                # nearest below/above-block cells or wall ghosts)
+                ppr = jnp.concatenate([Hp[0, 1:2], pp, Hp[0, 2:3]], axis=0)
                 gp_r = (ppr[2:] - ppr[:-2]) * (1.0 / (2.0 * dr))
-                ppl = pole_pad1(ch[3][None], False)[0]
+                ppl = pole_pad1(pp[None], False)[0]
                 gp_l = (ppl[:, 2:, :] - ppl[:, :-2, :]) * inv_2rcdlat
-                gp_o = (jnp.roll(ch[3], -1, axis=2)
-                        - jnp.roll(ch[3], 1, axis=2)) * inv_2dlon
+                gp_o = (jnp.roll(pp, -1, axis=2)
+                        - jnp.roll(pp, 1, axis=2)) * inv_2dlon
                 forcing = forcing - jnp.stack([gp_r, gp_l, gp_o])
 
             out_ref[:] = u3 + dt * forcing
 
+            # ---------- fused temperature transport --------------------
+            # T - dt_T * (u . grad T) in the SAME pass: T, the face
+            # velocities, the metric channels and div_u are already in
+            # VMEM (jnp oracle: advect_scalar form="advective")
+            if advect_T:
+                HT = HT_ref[0]                   # (4, nlat, nlon)
+                p2rT = jnp.concatenate([HT[:2], Tb, HT[2:]], axis=0)
+                fv_rT = _muscl_faces(p2rT, f0_ext, 0, blk + 1, scheme)
+                aq_rT = ar_ext * f0_ext * fv_rT
+                adv_rT = aq_rT[1:] - aq_rT[:-1]
+
+                p2lT = pole_pad2(Tb, False)      # lat ghosts (POLE rule)
+                fv_lT = _muscl_faces(p2lT, f1, 1, nlat, scheme)
+                aq_lT = alat_lo * f1 * fv_lT
+                zrowT = jnp.zeros_like(aq_lT[:, :1, :])
+                adv_lT = (jnp.concatenate([aq_lT[:, 1:, :], zrowT], axis=1)
+                          - aq_lT)
+
+                if scheme == "muscl":
+                    d_mT = Tb - jnp.roll(Tb, 1, axis=2)
+                    d_pT = jnp.roll(Tb, -1, axis=2) - Tb
+                    slopeT = _van_leer(d_mT, d_pT)
+                    LT = (jnp.roll(Tb, 1, axis=2)
+                          + 0.5 * jnp.roll(slopeT, 1, axis=2))
+                    RT = Tb - 0.5 * slopeT
+                    fv_oT = jnp.where(f2 > 0, LT, RT)
+                elif scheme == "upwind":
+                    fv_oT = jnp.where(f2 > 0, jnp.roll(Tb, 1, axis=2), Tb)
+                else:
+                    fv_oT = 0.5 * (jnp.roll(Tb, 1, axis=2) + Tb)
+                aq_oT = alon * f2 * fv_oT
+                adv_oT = jnp.roll(aq_oT, -1, axis=2) - aq_oT
+
+                adv_T_ = ((adv_rT + adv_lT + adv_oT) * inv_vol
+                          - Tb * div_u)
+                Tout_ref[:] = Tb - (dt * dt_T_factor) * adv_T_
+
         bspec = lambda shape, imap: pl.BlockSpec(shape, imap,
                                                  memory_space=pltpu.VMEM)
-        grid_spec = pl.GridSpec(
-            grid=(nb,),
-            in_specs=[
-                pl.BlockSpec((1, 1), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),          # dt
-                bspec((4, blk, nlat, nlon), lambda i: (0, i, 0, 0)),   # ch
-                bspec((1, 4, 4, nlat, nlon),
-                      lambda i: (i, 0, 0, 0, 0)),                # halos
-                bspec((blk, nlat, nlon), lambda i: (i, 0, 0)),   # f0
-                bspec((1, 1, nlat, nlon), lambda i: (i, 0, 0, 0)),  # f0 halo
-                bspec((blk, nlat, nlon), lambda i: (i, 0, 0)),   # f1
-                bspec((blk, nlat, nlon), lambda i: (i, 0, 0)),   # f2
-                bspec((blk, nlat, nlon), lambda i: (i, 0, 0)),   # T
-                bspec((K, blk, nlat), lambda i: (0, i, 0)),      # metrics
-                bspec((3, nlat), lambda i: (0, 0)),              # lat consts
-            ],
-            out_specs=bspec((3, blk, nlat, nlon), lambda i: (0, i, 0, 0)),
-        )
+        fld = lambda: bspec((blk, nlat, nlon), lambda i: (i, 0, 0))
+        in_specs = [
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),          # dt
+            bspec((3, blk, nlat, nlon), lambda i: (0, i, 0, 0)),   # u
+            fld(),                                           # p
+            bspec((1, 3, 4, nlat, nlon),
+                  lambda i: (i, 0, 0, 0, 0)),                # u halos
+            bspec((1, 1, 4, nlat, nlon),
+                  lambda i: (i, 0, 0, 0, 0)),                # p halos
+        ]
+        if advect_T:
+            in_specs.append(
+                bspec((1, 4, nlat, nlon), lambda i: (i, 0, 0, 0)))  # T halos
+        in_specs += [
+            fld(),                                           # f0
+            bspec((1, 1, nlat, nlon), lambda i: (i, 0, 0, 0)),  # f0 halo
+            fld(),                                           # f1
+            fld(),                                           # f2
+            fld(),                                           # T
+            bspec((K, blk, nlat), lambda i: (0, i, 0)),      # metrics
+            bspec((3, nlat), lambda i: (0, 0)),              # lat consts
+        ]
+        u_out = bspec((3, blk, nlat, nlon), lambda i: (0, i, 0, 0))
+        if advect_T:
+            out_specs = [u_out, fld()]
+            out_shape = [jax.ShapeDtypeStruct((3, nr, nlat, nlon), dtype),
+                         jax.ShapeDtypeStruct((nr, nlat, nlon), dtype)]
+        else:
+            out_specs = u_out
+            out_shape = jax.ShapeDtypeStruct((3, nr, nlat, nlon), dtype)
+        grid_spec = pl.GridSpec(grid=(nb,), in_specs=in_specs,
+                                out_specs=out_specs)
 
-        def call(dt_arr, ch, H, f0, f0h, f1, f2, T, M, lat_c):
+        def call(dt_arr, *ops):
             return pl.pallas_call(
                 kernel,
                 grid_spec=grid_spec,
-                out_shape=jax.ShapeDtypeStruct((3, nr, nlat, nlon), dtype),
+                out_shape=out_shape,
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=100 * 1024 * 1024),
                 interpret=self.interpret,
-            )(dt_arr, ch, H, f0, f0h, f1, f2, T, M, lat_c)
+            )(dt_arr, *ops)
 
         return call
 
@@ -723,6 +825,15 @@ def make_shell_forcing(geo: Geometry, model, *, interpret: bool = False,
     # uniform radial spacing is a factory invariant for the shell; the
     # kernel additionally assumes the gravity field is radial-only
     include_gradp = model.params.numerics.projection == "incremental"
+    # fuse the explicit temperature transport when it shares the
+    # kernel's scheme (Eulerian MUSCL/upwind/centered with the standard
+    # shell Dirichlet-inner/Neumann-outer walls)
+    from dycoreplanet_tpu.ops.bc import BC
+
+    t_spec = model.T_specs[0]
+    advect_T = (model.params.numerics.temperature_advection == "eulerian"
+                and t_spec is not None
+                and t_spec.lo == BC.DIRICHLET and t_spec.hi == BC.NEUMANN)
     return ShellForcingPallas(
         geo, dtype=model.dtype,
         beta=model.beta, T_ref=model.T_ref,
@@ -734,5 +845,8 @@ def make_shell_forcing(geo: Geometry, model, *, interpret: bool = False,
         buoyancy=model.params.numerics.buoyancy,
         scheme=model.advection_scheme,
         include_gradp=include_gradp,
+        advect_T=advect_T,
+        T_wall=(t_spec.lo_value if advect_T else None),
+        dt_T_factor=1.0 / model.params.NSE_solver_interval,
         interpret=interpret,
     )

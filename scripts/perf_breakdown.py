@@ -124,7 +124,10 @@ def main():
         fp = model._forcing_pallas
 
         def forcing_pallas(x):
-            return x * (1 - eps) + eps * fp(x, u_faces, T, pres, dt)
+            out = fp(x, u_faces, T, pres, dt)
+            if fp.advect_T:
+                out = out[0]
+            return x * (1 - eps) + eps * out
         stages["forcing_pallas"] = chain_timer(
             forcing_pallas, u, 10, 90, model=model)
 

@@ -11,6 +11,11 @@ from dycoreplanet_tpu.models import BoussinesqModel
 from dycoreplanet_tpu.ops.pallas_stencil import make_shell_forcing
 
 
+def _rhs(out):
+    """Unwrap the (rhs_u, T_adv) tuple of advect_T kernels."""
+    return out[0] if isinstance(out, tuple) else out
+
+
 def _model(scheme="muscl", coriolis="reference", buoyancy="perturbation",
            projection="incremental"):
     p = Parameters.from_text("")
@@ -51,7 +56,7 @@ def test_scheme_equivalence(scheme):
     u, faces, T, pres = _seeded_fields(m)
     dt = 0.01
     want = np.asarray(u + dt * m._explicit_forcing(u, faces, pres, T))
-    got = np.asarray(pall(u, faces, T, pres, dt))
+    got = np.asarray(_rhs(pall(u, faces, T, pres, dt)))
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
 
 
@@ -63,7 +68,7 @@ def test_physics_modes(coriolis, buoyancy):
     u, faces, T, pres = _seeded_fields(m, seed=1)
     dt = 0.004
     want = np.asarray(u + dt * m._explicit_forcing(u, faces, pres, T))
-    got = np.asarray(pall(u, faces, T, pres, dt))
+    got = np.asarray(_rhs(pall(u, faces, T, pres, dt)))
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
 
 
@@ -83,7 +88,7 @@ def test_block_counts(blk):
     u, faces, T, pres = _seeded_fields(m, seed=2)
     dt = 0.01
     want = np.asarray(u + dt * m._explicit_forcing(u, faces, pres, T))
-    got = np.asarray(pall(u, faces, T, pres, dt))
+    got = np.asarray(_rhs(pall(u, faces, T, pres, dt)))
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
 
 
@@ -147,5 +152,42 @@ def test_pressure_free_variant():
     u, faces, T, pres = _seeded_fields(m, seed=3)
     dt = 0.01
     want = np.asarray(u + dt * m._explicit_forcing(u, faces, pres, T))
-    got = np.asarray(pall(u, faces, T, pres, dt))
+    got = np.asarray(_rhs(pall(u, faces, T, pres, dt)))
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("scheme", ["muscl", "upwind", "centered"])
+def test_fused_temperature_transport(scheme):
+    """The kernel's fused T - dt_T*(u.grad T) must match advect_scalar
+    (form="advective") with the model's Dirichlet/Neumann/pole specs."""
+    from dycoreplanet_tpu.ops import stencil as st
+
+    m = _model(scheme=scheme)
+    pall = make_shell_forcing(m.geo, m, interpret=True, use_pallas=True)
+    assert pall is not None and pall.advect_T
+    u, faces, T, pres = _seeded_fields(m, seed=7)
+    dt = 0.01
+    dt_T = dt / m.params.NSE_solver_interval
+    out = pall(u, faces, T, pres, dt)
+    assert isinstance(out, tuple)
+    _, T_adv_got = out
+    want = np.asarray(T - dt_T * st.advect_scalar(
+        m.geo, faces, T, m.T_specs, scheme=scheme, form="advective"))
+    np.testing.assert_allclose(np.asarray(T_adv_got), want,
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_fused_temperature_nse_interval():
+    """dt_T = dt / NSE_solver_interval must be honored by the kernel."""
+    from dycoreplanet_tpu.ops import stencil as st
+
+    m = _model()
+    m.params.NSE_solver_interval = 5
+    pall = make_shell_forcing(m.geo, m, interpret=True, use_pallas=True)
+    u, faces, T, pres = _seeded_fields(m, seed=8)
+    dt = 0.02
+    _, T_adv_got = pall(u, faces, T, pres, dt)
+    want = np.asarray(T - (dt / 5) * st.advect_scalar(
+        m.geo, faces, T, m.T_specs, scheme="muscl", form="advective"))
+    np.testing.assert_allclose(np.asarray(T_adv_got), want,
+                               rtol=1e-12, atol=1e-12)
