@@ -517,7 +517,7 @@ class ShellForcingPallas:
                 grid_spec=grid_spec,
                 out_shape=out_shape,
                 compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=100 * 1024 * 1024),
+                    vmem_limit_bytes=VMEM_LIMIT_MB * 1024 * 1024),
                 interpret=self.interpret,
             )(dt_arr, *ops)
 
@@ -691,7 +691,7 @@ class ShellProjectionPallas:
                 out_shape=[shp, shp, shp, shp,
                            jax.ShapeDtypeStruct((nb, 1, 1), dtype)],
                 compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=100 * 1024 * 1024),
+                    vmem_limit_bytes=VMEM_LIMIT_MB * 1024 * 1024),
                 interpret=self.interpret,
             )(dt_arr, u_star, u0h, M)
 
@@ -776,7 +776,7 @@ class ShellProjectionPallas:
                 out_shape=[jax.ShapeDtypeStruct((3, nr, nlat, nlon), dtype),
                            shp, shp, shp, shp],
                 compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=100 * 1024 * 1024),
+                    vmem_limit_bytes=VMEM_LIMIT_MB * 1024 * 1024),
                 interpret=self.interpret,
             )(dt_arr, pm, u_star, phi, phih, uf0, uf1, uf2, pres, M)
 
