@@ -231,6 +231,12 @@ class BoussinesqModel:
         # take the full CG path regardless of fixed_solver_iters (the
         # strong retry of the host-level NoConvergence handling)
         self._force_cg = False
+        # sticky escalation: once the fixed-iteration fast path misses
+        # its tolerance (honesty gate fires), disable it for the rest of
+        # the run instead of paying a fast-attempt + full-CG retry on
+        # every subsequent step/chunk (ADVICE r2: a non-mass-dominated
+        # system would otherwise silently double its solve cost)
+        self._fast_path_disabled = False
         self._jit_step = jax.jit(self._step_consts)
 
     # ------------------------------------------------------------------
@@ -674,7 +680,8 @@ class BoussinesqModel:
                        if p.use_FEEC_solver and dim == 3
                        and not p.use_schur_complement_solver
                        else self._solve_momentum_coupled)
-            u_new, p_new, new_faces, outer_iters, outer_rnorm = \
+            (u_new, p_new, new_faces, outer_iters, outer_rnorm,
+             momentum_ok) = \
                 coupled(u + dt * (forcing if
                     p.numerics.projection != "incremental" else
                     forcing + jnp.stack([
@@ -683,7 +690,6 @@ class BoussinesqModel:
             helm_iters = [outer_iters] * dim
             poisson_iters = outer_iters
             helm_rnorm = poisson_rnorm = outer_rnorm
-            momentum_ok = jnp.asarray(True)  # GMRES retry handled inline
         else:
             (u_new, p_new, new_faces, helm_iters, poisson_iters,
              helm_rnorm, poisson_rnorm, momentum_ok) = \
@@ -988,6 +994,7 @@ class BoussinesqModel:
             u_sol = A_inv(f - G_op(p_sol))
             outer_iters = res_p.iterations
             outer_rnorm = res_p.residual_norm
+            outer_ok = res_p.converged
         else:
             # --- block-preconditioned FGMRES path (tpp:1131-1245) ----
             def K_op(xx):
@@ -1022,23 +1029,30 @@ class BoussinesqModel:
                     return jnp.concatenate([inner.x, phat[None]], 0)
 
                 def retry(_):
+                    # flexible=True: M_inv_strong contains an inner
+                    # iterative CG, so the Arnoldi relation only holds
+                    # with stored Z-vectors (true FGMRES, reference:
+                    # SolverFGMRES tpp:1191-1228)
                     return gmres(K_op, b, x0=res.x,
                                  rtol=p.numerics.helmholtz_tol,
                                  restart=50,
                                  maxiter=p.numerics.max_cg_iters,
-                                 preconditioner=M_inv_strong)
+                                 preconditioner=M_inv_strong,
+                                 flexible=True)
 
                 res = jax.lax.cond(res.converged, lambda _: res, retry,
                                    None)
             u_sol, p_sol = res.x[:dim], res.x[dim]
             outer_iters = res.iterations
             outer_rnorm = res.residual_norm
+            outer_ok = res.converged
 
         p_new = p_sol
         if p.correct_pressure_to_zero_mean:
             p_new = p_new - st.volume_mean(geo, p_new)
         new_faces = self._rhie_chow_faces(u_sol, p_sol, dt)
-        return u_sol, p_new, new_faces, outer_iters, outer_rnorm
+        return (u_sol, p_new, new_faces, outer_iters, outer_rnorm,
+                outer_ok)
 
     def _rhie_chow_faces(self, u_sol, p_sol, dt):
         """Staggered faces from a collocated coupled solve: face-averaged
@@ -1178,9 +1192,13 @@ class BoussinesqModel:
         b = jnp.concatenate(
             [jnp.zeros((nw,) + geo.cell_shape, f.dtype), f,
              jnp.zeros_like(f[:1])], 0)
+        # flexible=True: the u-block of M_inv is a truncated inner GMRES
+        # (shifted_inv), which is nonlinear in its input — true FGMRES
+        # stores the Z-vectors so the update stays exact (the reference
+        # swallows this inexactness; see SURVEY §3.5)
         res = gmres(K_op, b, rtol=p.numerics.helmholtz_tol,
                     restart=30, maxiter=p.numerics.max_cg_iters,
-                    preconditioner=M_inv)
+                    preconditioner=M_inv, flexible=True)
         u_sol = res.x[nw:nw + dim]
         p_sol = res.x[nw + dim]
 
@@ -1188,7 +1206,8 @@ class BoussinesqModel:
         if p.correct_pressure_to_zero_mean:
             p_new = p_new - st.volume_mean(geo, p_new)
         new_faces = self._rhie_chow_faces(u_sol, p_sol, dt)
-        return u_sol, p_new, new_faces, res.iterations, res.residual_norm
+        return (u_sol, p_new, new_faces, res.iterations,
+                res.residual_norm, res.converged)
 
     # ------------------------------------------------------------------
     def step(self, state: State, dt: float):
@@ -1327,6 +1346,10 @@ class BoussinesqModel:
             self._jit_multi_step = jax.jit(
                 scan_steps,
                 static_argnames=("n", "collect", "adapt", "strong"))
+        if self._fast_path_disabled:
+            # sticky escalation already fired earlier in this run: go
+            # straight to full CG, skip the doomed fast attempt
+            force_cg = True
         out = self._jit_multi_step(state, jnp.asarray(dt, self.dtype),
                                    self._const_values(),
                                    n_steps, collect_diagnostics, adaptive,
@@ -1343,7 +1366,9 @@ class BoussinesqModel:
 
                 warnings.warn(
                     "fixed-iteration solver missed tolerance; retrying "
-                    "chunk with full CG", RuntimeWarning, stacklevel=2)
+                    "chunk with full CG (fast path disabled for the "
+                    "rest of this run)", RuntimeWarning, stacklevel=2)
+                self._fast_path_disabled = True
                 return self.multi_step(state, dt, n_steps,
                                        collect_diagnostics, adaptive,
                                        force_cg=True)
@@ -1416,7 +1441,14 @@ class BoussinesqModel:
             # boussinesq_model.tpp:1867-1905)
             nse_step = n % p.NSE_solver_interval == 0
             state_prev = state
-            if nse_step:
+            if self._fast_path_disabled:
+                # sticky escalation: the fast path already missed once
+                # this run — go straight to the full-CG step
+                if nse_step:
+                    state, diag = self.step_strong(state, dt)
+                else:
+                    state, diag = self.temperature_step_strong(state, dt)
+            elif nse_step:
                 state, diag = self.step(state, dt)
             else:
                 state, diag = self.temperature_step(state, dt)
@@ -1424,8 +1456,10 @@ class BoussinesqModel:
             # redo the step with full CG when any solve missed its
             # tolerance (reference NoConvergence retry semantics,
             # boussinesq_model.tpp:1203-1232)
-            if (p.numerics.fixed_solver_iters > 0
+            if (not self._fast_path_disabled
+                    and p.numerics.fixed_solver_iters > 0
                     and not diag.solver_ok):
+                self._fast_path_disabled = True
                 if nse_step:
                     state, diag = self.step_strong(state_prev, dt)
                 else:

@@ -174,7 +174,7 @@ class MimeticBoussinesqModel(BoussinesqModel):
                  rtol=p.numerics.helmholtz_tol,
                  maxiter=p.numerics.max_cg_iters,
                  preconditioner=lambda r: r / diag)
-        return res.x, res.iterations, res.residual_norm
+        return res.x, res.iterations, res.residual_norm, res.converged
 
     # ------------------------------------------------------------------
     def _step_impl(self, state: State, dt: jnp.ndarray):
@@ -196,7 +196,7 @@ class MimeticBoussinesqModel(BoussinesqModel):
             [U[d] + dt * tend[d] for d in range(dim)]))
 
         # ---------------- implicit mimetic viscosity ------------------
-        u_star, helm_it, helm_rnorm = self._solve_momentum_mimetic(
+        u_star, helm_it, helm_rnorm, helm_ok = self._solve_momentum_mimetic(
             rhs_faces, dt)
         uf_star = [u_star[d] for d in range(dim)]
         uf_star = [self._apply_wall_face_values(uf_star[d], d)
@@ -245,7 +245,8 @@ class MimeticBoussinesqModel(BoussinesqModel):
             jnp.stack([helm_it] * dim),
             helmholtz_residual=helm_rnorm, poisson_residual=poisson_rnorm,
             temperature_residual=T_rnorm,
-            solver_ok=jnp.logical_and(T_ok, _poisson_ok))
+            solver_ok=jnp.logical_and(
+                jnp.logical_and(T_ok, _poisson_ok), helm_ok))
         new_state = State(
             u=u_new, u_faces=tuple(new_faces), p=p_new, T=T_new,
             time=state.time + dt_T,

@@ -50,6 +50,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dycoreplanet_tpu.grid.geometry import Geometry
 
+# VMEM budget hint passed to Mosaic for every fused kernel in this module.
+# 100 MB leaves headroom below the ~128 MB physical VMEM of v5e/v5p cores
+# while letting Mosaic double-buffer the radial-block streams.
+VMEM_LIMIT_MB = 100
+
 
 def supports_pallas() -> bool:
     """True on platforms whose Mosaic path works (real TPU and the

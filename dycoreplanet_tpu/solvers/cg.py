@@ -52,12 +52,20 @@ def cg(
     atol: float = 0.0,
     maxiter: int = 500,
     preconditioner: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    divergence_factor: float = 32.0,
 ) -> CGResult:
     """Solve A x = b for SPD matrix-free ``operator``.
 
     Fully jit-compatible: fixed `maxiter` bound, traced early exit via
     `lax.while_loop`. The preconditioner must be SPD as well (Jacobi /
     Chebyshev / multigrid V-cycle). Returns the best iterate seen.
+
+    ``divergence_factor``: abort once ||r|| grows this many times above
+    the best seen (plus the stop threshold). The 32x default tolerates
+    the transient residual oscillation of healthy CG on ill-conditioned
+    systems (e.g. the high-aspect-ratio shell Poisson operator); pass
+    4.0 for a tight guard on well-conditioned systems where iterations
+    past the optimum are pure waste.
     """
     if x0 is None:
         x0 = jnp.zeros_like(b)
@@ -79,10 +87,8 @@ def cg(
         x, r, p, rz, k, rnorm, x_best, rbest = state
         ok = jnp.logical_and(k < maxiter, rnorm > stop)
         # divergence guard: finite-precision CG past attainable accuracy
-        # blows up by orders of magnitude; the 32x headroom tolerates the
-        # transient (preconditioned) residual oscillation of healthy CG
-        # on ill-conditioned systems, which can exceed 4x the best seen
-        return jnp.logical_and(ok, rnorm < 32.0 * rbest + stop)
+        # blows up by orders of magnitude; see divergence_factor above
+        return jnp.logical_and(ok, rnorm < divergence_factor * rbest + stop)
 
     def body(state):
         x, r, p, rz, k, _, x_best, rbest = state

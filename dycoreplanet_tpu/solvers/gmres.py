@@ -42,6 +42,7 @@ def gmres(
     restart: int = 30,
     maxiter: int = 300,
     preconditioner: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    flexible: bool = False,
 ) -> CGResult:
     """Solve A x = b for a general (non-SPD) matrix-free ``operator``.
 
@@ -50,6 +51,13 @@ def gmres(
     residual satisfies ||b - A x|| <= max(rtol * ||b||, atol) (the
     reference's SolverControl semantics) or after ``maxiter`` total
     Krylov steps. Returns a CGResult for interface parity with cg().
+
+    ``flexible=True`` gives true FGMRES (reference: SolverFGMRES,
+    boussinesq_model.tpp:1191-1228): the preconditioned vectors
+    z_j = M(v_j) are stored and the update is x += Z y, so M may vary
+    between applications (e.g. an inner iterative solve truncated at a
+    tolerance). With a fixed linear M both variants produce the same
+    iterates; ``flexible`` costs one extra (restart, n) buffer.
     """
     if x0 is None:
         x0 = jnp.zeros_like(b)
@@ -76,14 +84,20 @@ def gmres(
 
         V = jnp.zeros((m + 1, n), dtype)
         V = V.at[0].set(flat(r) * inv_beta)
+        # FGMRES Z-buffer: z_j = M(v_j). Kept at a dummy size when the
+        # preconditioner is declared fixed (the common case).
+        Z = jnp.zeros((m, n) if flexible else (1, 1), dtype)
         H = jnp.zeros((m + 1, m), acc)        # rotated Hessenberg (-> R)
         cs = jnp.zeros((m,), acc)
         sn = jnp.zeros((m,), acc)
         g = jnp.zeros((m + 1,), acc).at[0].set(beta)
 
         def arnoldi(j, carry):
-            V, H, cs, sn, g = carry
-            w = flat(operator(M(unflat(V[j])))).astype(acc)
+            V, Z, H, cs, sn, g = carry
+            z = M(unflat(V[j]))
+            if flexible:
+                Z = Z.at[j].set(flat(z))
+            w = flat(operator(z)).astype(acc)
             # CGS2: two rounds of (project onto V[0..j], subtract)
             mask = (jnp.arange(m + 1) <= j).astype(acc)
             h1 = (V @ w).astype(acc) * mask
@@ -119,10 +133,10 @@ def gmres(
             hcol = hcol.at[j].set(rho).at[j + 1].set(0.0)
             H = H.at[:, j].set(hcol)
             g = g.at[j + 1].set(-s_new * g[j]).at[j].set(c_new * g[j])
-            return (V, H, cs, sn, g)
+            return (V, Z, H, cs, sn, g)
 
-        V, H, cs, sn, g = jax.lax.fori_loop(
-            0, m, arnoldi, (V, H, cs, sn, g))
+        V, Z, H, cs, sn, g = jax.lax.fori_loop(
+            0, m, arnoldi, (V, Z, H, cs, sn, g))
 
         # back-substitution R y = g[:m]; R = H[:m, :m] upper triangular.
         # Happy-breakdown guard: a zero diagonal entry means the Krylov
@@ -130,8 +144,11 @@ def gmres(
         alive = (jnp.abs(jnp.diag(H[:m, :m])) > 0).astype(acc)
         R = H[:m, :m] + jnp.eye(m, dtype=acc) * (1.0 - alive)
         y = jax.scipy.linalg.solve_triangular(R, g[:m] * alive, lower=False)
-        dx = unflat((V[:m].T @ y).astype(acc))
-        x_new = (x + M(dx)).astype(dtype)
+        if flexible:
+            x_new = (x + unflat((Z.T @ y.astype(dtype)))).astype(dtype)
+        else:
+            dx = unflat((V[:m].T @ y).astype(acc))
+            x_new = (x + M(dx)).astype(dtype)
         r_new = b - operator(x_new)
         return x_new, jnp.sqrt(_dot(r_new, r_new))
 

@@ -104,3 +104,50 @@ def test_weak_laplacian_neumann_singularity_handled():
     res = gmres(op, b, rtol=1e-9, restart=40, maxiter=400)
     r = np.asarray(b) - np.asarray(op(res.x))
     assert np.linalg.norm(r) < 1e-7 * np.linalg.norm(np.asarray(b)) + 1e-10
+
+
+class TestFlexibleFGMRES:
+    """True FGMRES (stored Z-vectors) for variable preconditioners —
+    the reference uses SolverFGMRES precisely because its block
+    preconditioner contains inner iterative solves
+    (boussinesq_model.tpp:1191-1228, block_schur_preconditioner.hpp:59-67)."""
+
+    def test_matches_plain_gmres_with_fixed_preconditioner(self):
+        rng = np.random.RandomState(7)
+        A, b = _random_system(rng, 48)
+        d = jnp.abs(jnp.diag(A)) + 1.0
+        M = lambda r: r / d
+        r_fix = gmres(lambda x: A @ x, b, rtol=1e-12, restart=24,
+                      maxiter=96, preconditioner=M)
+        r_flex = gmres(lambda x: A @ x, b, rtol=1e-12, restart=24,
+                       maxiter=96, preconditioner=M, flexible=True)
+        # identical math for a fixed linear M — same iterates
+        np.testing.assert_allclose(np.asarray(r_flex.x),
+                                   np.asarray(r_fix.x), rtol=1e-6)
+        assert bool(r_flex.converged)
+
+    def test_inner_cg_preconditioner_converges(self):
+        """FGMRES with an inner truncated-CG preconditioner (nonlinear
+        in its input) still satisfies the true-residual stop — the
+        strong-retry configuration of the coupled momentum solve."""
+        from dycoreplanet_tpu.solvers.cg import cg
+
+        rng = np.random.RandomState(8)
+        n = 48
+        S = rng.randn(n, n) / np.sqrt(n)
+        A = jnp.asarray(S @ S.T + 2.0 * np.eye(n))   # SPD so CG applies
+        # mild nonsymmetric part so GMRES (not CG) is required outside
+        N = jnp.asarray(0.1 * (rng.randn(n, n) / np.sqrt(n)))
+        K = A + N - N.T
+        b = jnp.asarray(rng.randn(n))
+
+        def M_inner(r):
+            # truncated CG on the SPD part: a genuinely flexible M —
+            # 3 iterations from x0=0 is nonlinear in r
+            return cg(lambda x: A @ x, r, rtol=1e-12, maxiter=3).x
+
+        res = gmres(lambda x: K @ x, b, rtol=1e-10, restart=20,
+                    maxiter=200, preconditioner=M_inner, flexible=True)
+        r = np.asarray(b) - np.asarray(K @ res.x)
+        assert bool(res.converged)
+        assert np.linalg.norm(r) <= 1e-9 * np.linalg.norm(np.asarray(b))
