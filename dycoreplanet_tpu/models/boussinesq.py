@@ -1318,10 +1318,18 @@ class BoussinesqModel:
                 self._force_cg = strong or old_force
                 try:
                     with self._bound_consts(cvals):
+                        # Without adaptive dt the time step is loop-
+                        # invariant: close over it instead of carrying
+                        # it, so XLA hoists every dt-dependent field
+                        # precomputation (Helmholtz/temperature system
+                        # diagonals, dt-scaled metrics) out of the scan
+                        # body — measured 0.18 ms/step at 32x128x256
+                        # (scripts/probe_scan_overhead.py)
                         def body(carry, _):
                             s, dt_now, okmin = carry
-                            ns, packed = one_step(s, dt_now)
-                            dt_next = next_dt(ns, packed, dt_now, adapt)
+                            dt_eff = dt_now if adapt else dt
+                            ns, packed = one_step(s, dt_eff)
+                            dt_next = next_dt(ns, packed, dt_eff, adapt)
                             okmin = jnp.minimum(okmin, packed[10])
                             return ((ns, dt_next, okmin),
                                     (packed if collect else None))
@@ -1333,8 +1341,9 @@ class BoussinesqModel:
                             return s, packed, dt_out
                         (s, dt_now, okmin), _ = jax.lax.scan(
                             body, (state, dt, ok0), None, length=n - 1)
-                        s, packed = one_step(s, dt_now)
-                        dt_out = next_dt(s, packed, dt_now, adapt)
+                        s, packed = one_step(s, dt_now if adapt else dt)
+                        dt_out = next_dt(s, packed,
+                                         dt_now if adapt else dt, adapt)
                         # solver_ok reports the AND across ALL scanned
                         # steps (StepDiagnostics.solver_ok docstring)
                         packed = packed.at[10].set(

@@ -291,23 +291,53 @@ class ShellForcingPallas:
             tangential components (the local basis flips across it)."""
             return jnp.concatenate([g[0:1], -g[1:3]], axis=0)
 
-        def pole_pad2(x, vec):
-            """lat axis is the second-to-last: add 2 pole ghosts each
-            side (outermost replicated, like _widen_to_2ghosts)."""
-            g_lo = jnp.roll(x[..., 0:1, :], half, axis=-1)
-            g_hi = jnp.roll(x[..., -1:, :], half, axis=-1)
-            if vec:
-                g_lo, g_hi = flip_vec(g_lo), flip_vec(g_hi)
-            p1 = jnp.concatenate([g_lo, x, g_hi], axis=-2)
-            return jnp.concatenate(
-                [p1[..., 0:1, :], p1, p1[..., -1:, :]], axis=-2)
+        def lat_shift(x, k, ghost):
+            """Value at lat index j+k with pole-ghost fill, computed as
+            an ALIGNED sublane roll + elementwise masked select instead
+            of a concat+slice chain. pole_pad-style concats produce
+            (nlat+4)-row misaligned layouts whose every slice costs a
+            cross-sublane-tile relayout — measured as the structural
+            floor of this kernel (PERF.md round-2). ``ghost`` is a
+            broadcastable lat-ghost row (or 0.0); matches the
+            _widen_to_2ghosts outermost-replicated convention because
+            both ghost rows on a side carry the same value."""
+            ax = x.ndim - 2
+            r = jnp.roll(x, -k, axis=ax)
+            idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, ax)
+            cond = (idx >= nlat - k) if k > 0 else (idx < -k)
+            return jnp.where(cond, ghost, r)
 
-        def pole_pad1(x, vec):
+        def lat_ghosts(x, vec):
+            """The two pole ghost rows: value at the antipodal meridian
+            (half-turn lon roll), tangential components sign-flipped."""
             g_lo = jnp.roll(x[..., 0:1, :], half, axis=-1)
             g_hi = jnp.roll(x[..., -1:, :], half, axis=-1)
             if vec:
                 g_lo, g_hi = flip_vec(g_lo), flip_vec(g_hi)
-            return jnp.concatenate([g_lo, x, g_hi], axis=-2)
+            return g_lo, g_hi
+
+        def lat_face_values(x, uf, vec):
+            """L/R-limited upwind values on the nlat lower faces along
+            the lat axis — the roll-based equivalent of
+            _muscl_faces(pole_pad2(x), ...). The ghost-cell slope is 0
+            because both ghosts on a side are replicated (diff across
+            the outer pole pair vanishes), so only +-1 shifts are
+            needed. Returns (face_values, s_m1, s_p1) so the central
+            d/dlat reuses the shifted copies."""
+            g_lo, g_hi = lat_ghosts(x, vec)
+            s_m1 = lat_shift(x, -1, g_lo)
+            s_p1 = lat_shift(x, 1, g_hi)
+            if scheme == "muscl":
+                slope = _van_leer(x - s_m1, s_p1 - x)
+                slope_m1 = lat_shift(slope, -1, 0.0)
+                L = s_m1 + 0.5 * slope_m1
+                R = x - 0.5 * slope
+                fv = jnp.where(uf > 0, L, R)
+            elif scheme == "upwind":
+                fv = jnp.where(uf > 0, s_m1, x)
+            else:
+                fv = 0.5 * (s_m1 + x)
+            return fv, s_m1, s_p1
 
         advect_T = self.advect_T
         dt_T_factor = self.dt_T_factor
@@ -348,15 +378,14 @@ class ShellForcingPallas:
             dq_r = ar_ext * f0_ext
             div_r = dq_r[1:] - dq_r[:-1]
 
-            # ---------- latitude (axis 1 of block slabs) ---------------
-            p2l = pole_pad2(u3, True)
-            fv_l = _muscl_faces(p2l, f1[None], 2, nlat, scheme)
+            # ---------- latitude (aligned rolls, no pad/concat) ---------
+            fv_l, u_lm1, u_lp1 = lat_face_values(u3, f1[None], True)
             aq_l = alat_lo * f1[None] * fv_l
-            zrow = jnp.zeros_like(aq_l[..., :1, :])
-            adv_l = jnp.concatenate([aq_l[..., 1:, :], zrow], axis=2) - aq_l
+            # flux difference: value at face j+1 minus face j; the flux
+            # through the upper pole face (j = nlat) is zero
+            adv_l = lat_shift(aq_l, 1, 0.0) - aq_l
             dq_l = alat_lo * f1
-            div_l = (jnp.concatenate([dq_l[..., 1:, :], zrow[0]], axis=1)
-                     - dq_l)
+            div_l = lat_shift(dq_l, 1, 0.0) - dq_l
 
             # ---------- longitude (periodic rolls) ---------------------
             if scheme == "muscl":
@@ -408,10 +437,9 @@ class ShellForcingPallas:
             buoy = jnp.stack([buoy_r, zero, zero])
 
             # ---------- viscous curvature corrections ------------------
-            # physical angular derivatives: (pad[j+2]-pad[j]) * 1/(2 r dlat)
-            pl_u = pole_pad1(u3, True)
-            d_lat = lambda c: ((pl_u[c, :, 2:, :] - pl_u[c, :, :-2, :])
-                               * inv_2rcdlat)
+            # physical angular derivatives via the +-1 lat shifts
+            # already computed for the face values
+            d_lat = lambda c: (u_lp1[c] - u_lm1[c]) * inv_2rcdlat
             d_lon = lambda c: ((jnp.roll(u3[c], -1, axis=2)
                                 - jnp.roll(u3[c], 1, axis=2))
                                * inv_2dlon)
@@ -435,8 +463,9 @@ class ShellForcingPallas:
                 # nearest below/above-block cells or wall ghosts)
                 ppr = jnp.concatenate([Hp[0, 1:2], pp, Hp[0, 2:3]], axis=0)
                 gp_r = (ppr[2:] - ppr[:-2]) * (1.0 / (2.0 * dr))
-                ppl = pole_pad1(pp[None], False)[0]
-                gp_l = (ppl[:, 2:, :] - ppl[:, :-2, :]) * inv_2rcdlat
+                gp_lo, gp_hi = lat_ghosts(pp, False)
+                gp_l = (lat_shift(pp, 1, gp_hi)
+                        - lat_shift(pp, -1, gp_lo)) * inv_2rcdlat
                 gp_o = (jnp.roll(pp, -1, axis=2)
                         - jnp.roll(pp, 1, axis=2)) * inv_2dlon
                 forcing = forcing - jnp.stack([gp_r, gp_l, gp_o])
@@ -454,12 +483,9 @@ class ShellForcingPallas:
                 aq_rT = ar_ext * f0_ext * fv_rT
                 adv_rT = aq_rT[1:] - aq_rT[:-1]
 
-                p2lT = pole_pad2(Tb, False)      # lat ghosts (POLE rule)
-                fv_lT = _muscl_faces(p2lT, f1, 1, nlat, scheme)
+                fv_lT, _, _ = lat_face_values(Tb, f1, False)
                 aq_lT = alat_lo * f1 * fv_lT
-                zrowT = jnp.zeros_like(aq_lT[:, :1, :])
-                adv_lT = (jnp.concatenate([aq_lT[:, 1:, :], zrowT], axis=1)
-                          - aq_lT)
+                adv_lT = lat_shift(aq_lT, 1, 0.0) - aq_lT
 
                 if scheme == "muscl":
                     d_mT = Tb - jnp.roll(Tb, 1, axis=2)
