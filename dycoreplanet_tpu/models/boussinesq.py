@@ -240,6 +240,35 @@ class BoussinesqModel:
         self._jit_step = jax.jit(self._step_consts)
 
     # ------------------------------------------------------------------
+    def enable_sharded_pallas(self, mesh, *, interpret: bool = False):
+        """Keep the fused forcing kernel on a multi-device ('lat','lon')
+        mesh: replaces the forcing stage with the shard_map-wrapped
+        operands-mode kernel (parallel/sharded_pallas.py — ppermute
+        halos + per-shard pallas_call). The projection kernels stay on
+        the GSPMD-partitionable jnp path. Call BEFORE the first step;
+        jit caches are reset. No-op for non-shell/coupled configs."""
+        if self.geo.kind != "shell" or self.momentum_solver == "coupled":
+            return False
+        from dycoreplanet_tpu.ops.pallas_stencil import make_shell_forcing
+        from dycoreplanet_tpu.parallel.sharded_pallas import (
+            ShardedShellForcing)
+
+        base = self._forcing_pallas or make_shell_forcing(
+            self.geo, self, interpret=interpret,
+            use_pallas=None if not interpret else True, n_devices=1)
+        if base is None:
+            return False
+        self._forcing_pallas = ShardedShellForcing(
+            base, mesh, interpret=interpret)
+        self._proj_pallas = None
+        self._jit_step = jax.jit(self._step_consts)
+        for attr in ("_jit_multi_step", "_jit_step_cg", "_jit_temp_step",
+                     "_jit_temp_step_cg"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+        return True
+
+    # ------------------------------------------------------------------
     def _setup_bcs(self) -> None:
         """Ghost rules replacing the reference's constraint sets
         (no-slip inner / no-normal-flux outer, Dirichlet temperature at

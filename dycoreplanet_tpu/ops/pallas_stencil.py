@@ -112,10 +112,24 @@ class ShellForcingPallas:
                  advect_T: bool = False, T_wall=None,
                  dt_T_factor: float = 1.0,
                  block_rows: Optional[int] = None,
-                 interpret: bool = False):
+                 interpret: bool = False,
+                 halo_mode: str = "local",
+                 local_shape: Optional[tuple] = None):
+        """``halo_mode``:
+          * "local"     — single-device kernel: lat pole closure and lon
+            periodic wrap are computed in-kernel (roll-based);
+          * "operands"  — the lat/lon ghost layers arrive as explicit
+            kernel operands (built by the caller — either locally for
+            testing, or from `parallel.halo.exchange_ghosts` ppermutes
+            under shard_map for the multi-chip path; VERDICT r2 item 3).
+        ``local_shape``: the per-shard cell shape (operands mode on a
+        sharded mesh — the caller passes per-shard metric slices to
+        __call__ via the ``M``/``lat_c`` overrides)."""
         assert geo.kind == "shell"
+        assert halo_mode in ("local", "operands")
+        self.halo_mode = halo_mode
         self.geo = geo
-        nr, nlat, nlon = geo.cell_shape
+        nr, nlat, nlon = local_shape or geo.cell_shape
         self.shape = (nr, nlat, nlon)
         if block_rows is None:
             # Mosaic block constraint: the metric stack's second-to-last
@@ -130,6 +144,11 @@ class ShellForcingPallas:
         self.buoyancy = buoyancy
         self.include_gradp = include_gradp
         f = lambda a: np.asarray(a, dtype=dtype)
+        # metric channels are built at GLOBAL extents; in operands mode
+        # on a sharded mesh the caller passes per-shard slices to
+        # __call__ (self.shape is the per-shard extent)
+        nr_g, nlat_g, nlon_g = geo.cell_shape
+        assert nr == nr_g, "the radial axis is never sharded"
 
         # ---- static scalars -----------------------------------------
         self.s_beta = float(beta)
@@ -138,7 +157,7 @@ class ShellForcingPallas:
         self.s_iRe = float(one_over_Re)
         self.s_omega = float(omega_hat)
         self.dr = float(np.asarray(geo.face_dist[0]).flat[0])
-        self.dlat = float(np.pi / nlat)
+        self.dlat = float(np.pi / nlat_g)
 
         # ---- metric channel stack (K, nr, nlat) ----------------------
         # Divides dominate the kernel's VPU time (measured ~3x above the
@@ -147,41 +166,43 @@ class ShellForcingPallas:
         # its host-precomputed RECIPROCAL and applied by multiply. The
         # only remaining divides are the data-dependent van Leer slopes.
         b2 = lambda a: np.broadcast_to(np.asarray(a, np.float64)[..., 0],
-                                       (nr, nlat))
+                                       (nr, nlat_g))
         area_r = np.broadcast_to(np.asarray(geo.face_area[0], np.float64),
-                                 (nr + 1, nlat, 1))[..., 0]
+                                 (nr + 1, nlat_g, 1))[..., 0]
         area_lat = np.broadcast_to(np.asarray(geo.face_area[1], np.float64),
-                                   (nr, nlat + 1, 1))[..., 0]
-        rc = np.broadcast_to(geo.extras["r_centers"], (nr, nlat, 1))[..., 0]
+                                   (nr, nlat_g + 1, 1))[..., 0]
+        rc = np.broadcast_to(geo.extras["r_centers"],
+                             (nr, nlat_g, 1))[..., 0]
         # radial gravity profile: the shell metric (and the reference's
         # radial gravity, core_model_data.tpp:97-106) is lon-invariant
         gfull = np.broadcast_to(np.asarray(gravity_r, np.float64),
-                                (nr, nlat, nlon))
+                                (nr, nlat_g, nlon_g))
         if not np.allclose(gfull, gfull[..., :1]):
             raise ValueError("fused kernel needs lon-invariant gravity")
         gr2 = gfull[..., 0]
         cosl = np.cos(np.asarray(geo.axes[1].centers, np.float64))
-        dlon = 2.0 * np.pi / nlon
+        dlon = 2.0 * np.pi / nlon_g
         dist_lon = rc * cosl[None, :] * dlon
         self.M = f(np.stack([
             1.0 / b2(geo.vol),                 # 0 1/vol
             area_r[:nr],                       # 1 ar_lo
             area_r[1:],                        # 2 ar_hi
-            area_lat[:, :nlat],                # 3 alat_lo
+            area_lat[:, :nlat_g],              # 3 alat_lo
             1.0 / (2.0 * dist_lon),            # 4 1/(2 dist_lon)
             b2(geo.face_area[2]),              # 5 alon
             1.0 / rc,                          # 6 1/r_c
             1.0 / (2.0 * rc * self.dlat),      # 7 1/(2 r_c dlat)
             gr2,                               # 8 g_r
             1.0 / (rc * cosl[None, :]) ** 2,   # 9 1/(r_c cos)^2
+            area_lat[:, 1:],                   # 10 alat_hi (seam fluxes)
         ]))
         self.K = self.M.shape[0]
 
         # ---- lat-only closure constants ------------------------------
         latc = np.asarray(geo.axes[1].centers, np.float64)
-        self.c_cos = f(cosl.reshape(1, nlat, 1))
-        self.c_tan = f(np.tan(latc).reshape(1, nlat, 1))
-        self.c_sin = f(np.sin(latc).reshape(1, nlat, 1))
+        self.c_cos = f(cosl.reshape(1, nlat_g, 1))
+        self.c_tan = f(np.tan(latc).reshape(1, nlat_g, 1))
+        self.c_sin = f(np.sin(latc).reshape(1, nlat_g, 1))
         # ---- fused temperature transport ------------------------------
         # T is already streamed through the kernel for buoyancy; with
         # advect_T the same pass also produces the explicit transport
@@ -195,7 +216,7 @@ class ShellForcingPallas:
             # temperature constraints boussinesq_model.tpp:338-387)
             self.T_wall = np.ascontiguousarray(
                 np.broadcast_to(np.asarray(T_wall, dtype),
-                                (nlat, nlon))).astype(dtype)
+                                (nlat_g, nlon_g))).astype(dtype)
         self._kernel_cache = {}
 
     # ------------------------------------------------------------------
@@ -218,12 +239,14 @@ class ShellForcingPallas:
             halos.append(jnp.concatenate([top, bot], axis=1))
         return jnp.stack(halos)
 
-    def _T_halos(self, T: jnp.ndarray) -> jnp.ndarray:
+    def _T_halos(self, T: jnp.ndarray, T_wall=None) -> jnp.ndarray:
         """(nb, 4, nlat, nlon) radial halo rows for the temperature:
         lo = Dirichlet mirror 2*T_wall - T[0] (outermost replicated, as
         _widen_to_2ghosts), hi = Neumann copy of T[-1]."""
         blk, nb = self.blk, self.nb
-        g_lo = 2.0 * jnp.asarray(self.T_wall, T.dtype)[None] - T[0:1]
+        if T_wall is None:
+            T_wall = self.T_wall
+        g_lo = 2.0 * jnp.asarray(T_wall, T.dtype)[None] - T[0:1]
         g_hi = T[-1:]
         halos = []
         for i in range(nb):
@@ -244,10 +267,20 @@ class ShellForcingPallas:
         return jnp.stack(rows)
 
     # ------------------------------------------------------------------
-    def __call__(self, u, u_faces, T, pres, dt):
+    def __call__(self, u, u_faces, T, pres, dt, *,
+                 halos=None, M=None, lat_c=None, T_wall=None):
+        """Fused explicit stage.
+
+        ``halos`` (operands mode only) is the dict produced by
+        ``build_local_halos`` or the shard_map wrapper
+        (parallel/sharded_pallas.py): keys HLu, HLp, HLf1 [, HLT] for
+        the 4/2/1-row latitude ghosts and HOu, HOp, HOf2 [, HOT] for
+        the longitude ghost columns. ``M``/``lat_c``/``T_wall`` override
+        the global metric stacks with per-shard slices."""
         nr, nlat, nlon = self.shape
         blk, nb = self.blk, self.nb
         dtype = u.dtype
+        assert (halos is not None) == (self.halo_mode == "operands")
         # u and p stay SEPARATE kernel operands: a concatenated channel
         # stack would materialize a fresh 16 MB copy every step
         Hu = self._radial_halos(u, self._LO_SIGN[:3], self._HI_SIGN[:3])
@@ -261,16 +294,75 @@ class ShellForcingPallas:
         if call is None:
             call = self._build_call(dtype)
             self._kernel_cache[key] = call
-        lat_c = jnp.asarray(np.stack([
-            self.c_cos[0, :, 0], self.c_tan[0, :, 0], self.c_sin[0, :, 0],
-        ]), dtype)
+        if M is None:
+            M = jnp.asarray(self.M, dtype)
+        if lat_c is None:
+            lat_c = jnp.asarray(np.stack([
+                self.c_cos[0, :, 0], self.c_tan[0, :, 0],
+                self.c_sin[0, :, 0],
+            ]), dtype)
+        ops = [dt_arr, u, pres, Hu, Hp]
         if self.advect_T:
-            HT = self._T_halos(T)
-            return call(dt_arr, u, pres, Hu, Hp, HT, u_faces[0], f0h,
-                        u_faces[1], u_faces[2], T,
-                        jnp.asarray(self.M, dtype), lat_c)
-        return call(dt_arr, u, pres, Hu, Hp, u_faces[0], f0h, u_faces[1],
-                    u_faces[2], T, jnp.asarray(self.M, dtype), lat_c)
+            ops.append(self._T_halos(T, T_wall))
+        ops += [u_faces[0], f0h, u_faces[1], u_faces[2], T, M, lat_c]
+        if self.halo_mode == "operands":
+            ops += [halos["HLu"], halos["HLp"], halos["HLf1"],
+                    halos["HOu"], halos["HOp"], halos["HOf2"]]
+            if self.advect_T:
+                ops += [halos["HLT"], halos["HOT"]]
+        return call(*ops)
+
+    # ------------------------------------------------------------------
+    def build_local_halos(self, u, u_faces, T, pres):
+        """Operands-mode ghost layers for a SINGLE-device (whole-grid)
+        field set: latitude ghosts from the pole closure (half-turn lon
+        roll, tangential sign flip), longitude ghosts from the periodic
+        wrap. The shard_map wrapper builds the same layout from
+        ppermutes; this local builder makes the operands-mode kernel
+        testable 1-device vs the in-kernel ("local") closure."""
+        nr, nlat, nlon = self.shape
+        half = nlon // 2
+
+        def pole_rows(x, vec):
+            lo = jnp.roll(x[..., 0:1, :], half, axis=-1)
+            hi = jnp.roll(x[..., -1:, :], half, axis=-1)
+            if vec:
+                lo = jnp.concatenate([lo[0:1], -lo[1:3]], axis=0)
+                hi = jnp.concatenate([hi[0:1], -hi[1:3]], axis=0)
+            return lo, hi
+
+        ax = lambda x: x.ndim - 2  # lat axis
+
+        def lat4(x, vec):
+            lo, hi = pole_rows(x, vec)
+            # rows [g_m2, g_m1, g_p1, g_p2]; the pole ghosts replicate
+            # the outermost value (matching _widen_to_2ghosts)
+            return jnp.concatenate([lo, lo, hi, hi], axis=ax(x))
+
+        def lon4(x):
+            a = x.ndim - 1
+            sl = lambda s: jax.lax.slice_in_dim(x, *s, axis=a)
+            return jnp.concatenate(
+                [sl((nlon - 2, nlon - 1)), sl((nlon - 1, nlon)),
+                 sl((0, 1)), sl((1, 2))], axis=a)
+
+        u1, u2 = u_faces[1], u_faces[2]
+        halos = {
+            "HLu": lat4(u, True),
+            "HLp": jnp.concatenate(pole_rows(pres, False),
+                                   axis=pres.ndim - 2),
+            # the flux through the pole face is zero: zero f1 seam row
+            "HLf1": jnp.zeros_like(u1[..., :1, :]),
+            "HOu": lon4(u),
+            "HOp": jnp.concatenate(
+                [jax.lax.slice_in_dim(pres, nlon - 1, nlon, axis=2),
+                 jax.lax.slice_in_dim(pres, 0, 1, axis=2)], axis=2),
+            "HOf2": jax.lax.slice_in_dim(u2, 0, 1, axis=2),
+        }
+        if self.advect_T:
+            halos["HLT"] = lat4(T, False)
+            halos["HOT"] = lon4(T)
+        return halos
 
     # ------------------------------------------------------------------
     def _build_call(self, dtype):
@@ -307,48 +399,115 @@ class ShellForcingPallas:
             cond = (idx >= nlat - k) if k > 0 else (idx < -k)
             return jnp.where(cond, ghost, r)
 
+        operands = self.halo_mode == "operands"
+
         def lat_ghosts(x, vec):
-            """The two pole ghost rows: value at the antipodal meridian
-            (half-turn lon roll), tangential components sign-flipped."""
+            """Local-mode pole ghost rows: value at the antipodal
+            meridian (half-turn lon roll), tangential sign-flipped."""
             g_lo = jnp.roll(x[..., 0:1, :], half, axis=-1)
             g_hi = jnp.roll(x[..., -1:, :], half, axis=-1)
             if vec:
                 g_lo, g_hi = flip_vec(g_lo), flip_vec(g_hi)
             return g_lo, g_hi
 
-        def lat_face_values(x, uf, vec):
-            """L/R-limited upwind values on the nlat lower faces along
-            the lat axis — the roll-based equivalent of
-            _muscl_faces(pole_pad2(x), ...). The ghost-cell slope is 0
-            because both ghosts on a side are replicated (diff across
-            the outer pole pair vanishes), so only +-1 shifts are
-            needed. Returns (face_values, s_m1, s_p1) so the central
-            d/dlat reuses the shifted copies."""
-            g_lo, g_hi = lat_ghosts(x, vec)
-            s_m1 = lat_shift(x, -1, g_lo)
-            s_p1 = lat_shift(x, 1, g_hi)
+        def lon_shift(x, k, ghost):
+            """Value at lon index i+k. Local mode: the periodic wrap IS
+            the correct closure, so this is a plain lane roll (ghost
+            ignored). Operands mode: roll + masked edge fill from the
+            ghost column, mirroring lat_shift."""
+            a = x.ndim - 1
+            r = jnp.roll(x, -k, axis=a)
+            if not operands:
+                return r
+            idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, a)
+            cond = (idx >= nlon - k) if k > 0 else (idx < -k)
+            return jnp.where(cond, ghost, r)
+
+        def row(x, j):
+            a = x.ndim - 2
+            return jax.lax.slice_in_dim(x, j % nlat, j % nlat + 1, axis=a)
+
+        def col(x, i):
+            a = x.ndim - 1
+            return jax.lax.slice_in_dim(x, i % nlon, i % nlon + 1, axis=a)
+
+        def upwind_face(vL, vR, sL, sR, uf):
+            """Face value from left/right cell values + slopes."""
+            if scheme == "muscl":
+                return jnp.where(uf > 0, vL + 0.5 * sL, vR - 0.5 * sR)
+            if scheme == "upwind":
+                return jnp.where(uf > 0, vL, vR)
+            return 0.5 * (vL + vR)
+
+        def transverse_advect(x, uf, axis, g_m2, g_m1, g_p1, g_p2,
+                              uf_seam, a_lo, a_hi):
+            """Flux-difference advection along a sharded transverse axis
+            (lat or lon) with explicit ghost layers:
+
+                adv_j = a(face j+1) uf(face j+1) fv(face j+1)
+                      - a(face j)   uf(face j)   fv(face j)
+
+            ``uf`` holds the nlat/nlon LOWER-face velocities of this
+            shard; ``uf_seam`` the first face of the next shard (the
+            pole-face flux is killed by uf_seam = 0 / a_hi = 0 in local
+            mode). Returns (adv, div_contrib, s_m1, s_p1)."""
+            shift = lat_shift if axis == "lat" else lon_shift
+            edge_lo = row if axis == "lat" else col
+            # ghosts participate unless this is the local-mode periodic
+            # lon axis, where the lane roll IS the exact closure
+            ghosted = operands or axis == "lat"
+            s_m1 = shift(x, -1, g_m1)
+            s_p1 = shift(x, 1, g_p1)
             if scheme == "muscl":
                 slope = _van_leer(x - s_m1, s_p1 - x)
-                slope_m1 = lat_shift(slope, -1, 0.0)
-                L = s_m1 + 0.5 * slope_m1
-                R = x - 0.5 * slope
-                fv = jnp.where(uf > 0, L, R)
-            elif scheme == "upwind":
-                fv = jnp.where(uf > 0, s_m1, x)
+                if ghosted:
+                    # ghost-cell slopes from the ghost pairs (local lat:
+                    # both pole ghosts are equal so this is exactly 0)
+                    slope_gm1 = _van_leer(g_m1 - g_m2,
+                                          edge_lo(x, 0) - g_m1)
+                    slope_gp1 = _van_leer(g_p1 - edge_lo(x, -1),
+                                          g_p2 - g_p1)
+                else:
+                    slope_gm1 = slope_gp1 = None
+                slope_m1 = shift(slope, -1, slope_gm1)
+                s_last = edge_lo(slope, -1)
             else:
-                fv = 0.5 * (s_m1 + x)
-            return fv, s_m1, s_p1
+                slope = slope_m1 = slope_gp1 = s_last = None
+            fv = upwind_face(s_m1, x, slope_m1, slope, uf)
+            aq = a_lo * uf * fv
+            dq = a_lo * uf
+            if ghosted:
+                # seam face: left cell = our last row/col, right = g_p1
+                fv_seam = upwind_face(edge_lo(x, -1), g_p1, s_last,
+                                      slope_gp1, uf_seam)
+                flux_hi = a_hi * uf_seam * fv_seam
+                adv = shift(aq, 1, flux_hi) - aq
+                div = shift(dq, 1, a_hi * uf_seam) - dq
+            else:
+                adv = shift(aq, 1, None) - aq
+                div = shift(dq, 1, None) - dq
+            return adv, div, s_m1, s_p1
 
         advect_T = self.advect_T
         dt_T_factor = self.dt_T_factor
 
         def kernel(dt_ref, u_ref, p_ref, Hu_ref, Hp_ref, *rest):
+            rest = list(rest)
+            HT_ref = rest.pop(0) if advect_T else None
+            (f0_ref, f0h_ref, f1_ref, f2_ref, T_ref_, M_ref,
+             lat_ref) = rest[:7]
+            rest = rest[7:]
+            if operands:
+                (HLu_ref, HLp_ref, HLf1_ref, HOu_ref, HOp_ref,
+                 HOf2_ref) = rest[:6]
+                rest = rest[6:]
+                if advect_T:
+                    HLT_ref, HOT_ref = rest[:2]
+                    rest = rest[2:]
             if advect_T:
-                (HT_ref, f0_ref, f0h_ref, f1_ref, f2_ref, T_ref_, M_ref,
-                 lat_ref, out_ref, Tout_ref) = rest
+                out_ref, Tout_ref = rest
             else:
-                (f0_ref, f0h_ref, f1_ref, f2_ref, T_ref_, M_ref,
-                 lat_ref, out_ref) = rest
+                (out_ref,) = rest
             cosl = lat_ref[0].reshape(1, nlat, 1)
             tanl = lat_ref[1].reshape(1, nlat, 1)
             sinl = lat_ref[2].reshape(1, nlat, 1)
@@ -378,31 +537,37 @@ class ShellForcingPallas:
             dq_r = ar_ext * f0_ext
             div_r = dq_r[1:] - dq_r[:-1]
 
-            # ---------- latitude (aligned rolls, no pad/concat) ---------
-            fv_l, u_lm1, u_lp1 = lat_face_values(u3, f1[None], True)
-            aq_l = alat_lo * f1[None] * fv_l
-            # flux difference: value at face j+1 minus face j; the flux
-            # through the upper pole face (j = nlat) is zero
-            adv_l = lat_shift(aq_l, 1, 0.0) - aq_l
-            dq_l = alat_lo * f1
-            div_l = lat_shift(dq_l, 1, 0.0) - dq_l
-
-            # ---------- longitude (periodic rolls) ---------------------
-            if scheme == "muscl":
-                d_m = u3 - jnp.roll(u3, 1, axis=3)
-                d_p = jnp.roll(u3, -1, axis=3) - u3
-                slope = _van_leer(d_m, d_p)
-                L = jnp.roll(u3, 1, axis=3) + 0.5 * jnp.roll(slope, 1, axis=3)
-                R = u3 - 0.5 * slope
-                fv_o = jnp.where(f2[None] > 0, L, R)
-            elif scheme == "upwind":
-                fv_o = jnp.where(f2[None] > 0, jnp.roll(u3, 1, axis=3), u3)
+            # ---------- ghost layers for the transverse axes -----------
+            alat_hi_last = M[10][:, -1:][:, :, None]   # seam-face area
+            if operands:
+                HLu = HLu_ref[:]                 # (3, blk, 4, nlon)
+                ug_m2, ug_m1 = HLu[:, :, 0:1, :], HLu[:, :, 1:2, :]
+                ug_p1, ug_p2 = HLu[:, :, 2:3, :], HLu[:, :, 3:4, :]
+                f1_seam = HLf1_ref[:][None]      # (1, blk, 1, nlon)
+                HOu = HOu_ref[:]                 # (3, blk, nlat, 4)
+                og_m2, og_m1 = HOu[..., 0:1], HOu[..., 1:2]
+                og_p1, og_p2 = HOu[..., 2:3], HOu[..., 3:4]
+                f2_seam = HOf2_ref[:][None]      # (1, blk, nlat, 1)
             else:
-                fv_o = 0.5 * (jnp.roll(u3, 1, axis=3) + u3)
-            aq_o = alon * f2[None] * fv_o
-            adv_o = jnp.roll(aq_o, -1, axis=3) - aq_o
-            dq_o = alon * f2                      # rank 3: lon axis = 2
-            div_o = jnp.roll(dq_o, -1, axis=2) - dq_o
+                g_lo, g_hi = lat_ghosts(u3, True)
+                ug_m2 = ug_m1 = g_lo
+                ug_p1 = ug_p2 = g_hi
+                f1_seam = jnp.zeros_like(
+                    jax.lax.slice_in_dim(f1, 0, 1, axis=1))[None]
+                og_m2 = og_m1 = og_p1 = og_p2 = None  # lon wraps
+                f2_seam = None
+
+            # ---------- latitude (aligned rolls, no pad/concat) ---------
+            adv_l, div_l4, u_lm1, u_lp1 = transverse_advect(
+                u3, f1[None], "lat", ug_m2, ug_m1, ug_p1, ug_p2,
+                f1_seam, alat_lo, alat_hi_last)
+            div_l = div_l4[0]
+
+            # ---------- longitude (periodic rolls / ghost columns) ------
+            adv_o, div_o4, u_om1, u_op1 = transverse_advect(
+                u3, f2[None], "lon", og_m2, og_m1, og_p1, og_p2,
+                f2_seam, alon, alon)
+            div_o = div_o4[0]
 
             div_u = (div_r + div_l + div_o) * inv_vol
             adv = (adv_r + adv_l + adv_o) * inv_vol - u3 * div_u[None]
@@ -437,12 +602,10 @@ class ShellForcingPallas:
             buoy = jnp.stack([buoy_r, zero, zero])
 
             # ---------- viscous curvature corrections ------------------
-            # physical angular derivatives via the +-1 lat shifts
-            # already computed for the face values
+            # physical angular derivatives via the +-1 shifts already
+            # computed for the face values
             d_lat = lambda c: (u_lp1[c] - u_lm1[c]) * inv_2rcdlat
-            d_lon = lambda c: ((jnp.roll(u3[c], -1, axis=2)
-                                - jnp.roll(u3[c], 1, axis=2))
-                               * inv_2dlon)
+            d_lon = lambda c: (u_op1[c] - u_om1[c]) * inv_2dlon
             dlat_ur, dlat_ul = d_lat(0), d_lat(1)
             dlon_ur, dlon_ul, dlon_up = d_lon(0), d_lon(1), d_lon(2)
             tl_rc = tanl * inv_rc
@@ -463,11 +626,18 @@ class ShellForcingPallas:
                 # nearest below/above-block cells or wall ghosts)
                 ppr = jnp.concatenate([Hp[0, 1:2], pp, Hp[0, 2:3]], axis=0)
                 gp_r = (ppr[2:] - ppr[:-2]) * (1.0 / (2.0 * dr))
-                gp_lo, gp_hi = lat_ghosts(pp, False)
+                if operands:
+                    HLp = HLp_ref[:]
+                    gp_lo, gp_hi = HLp[:, 0:1, :], HLp[:, 1:2, :]
+                    HOp = HOp_ref[:]
+                    po_lo, po_hi = HOp[..., 0:1], HOp[..., 1:2]
+                else:
+                    gp_lo, gp_hi = lat_ghosts(pp, False)
+                    po_lo = po_hi = None
                 gp_l = (lat_shift(pp, 1, gp_hi)
                         - lat_shift(pp, -1, gp_lo)) * inv_2rcdlat
-                gp_o = (jnp.roll(pp, -1, axis=2)
-                        - jnp.roll(pp, 1, axis=2)) * inv_2dlon
+                gp_o = (lon_shift(pp, 1, po_hi)
+                        - lon_shift(pp, -1, po_lo)) * inv_2dlon
                 forcing = forcing - jnp.stack([gp_r, gp_l, gp_o])
 
             out_ref[:] = u3 + dt * forcing
@@ -483,24 +653,23 @@ class ShellForcingPallas:
                 aq_rT = ar_ext * f0_ext * fv_rT
                 adv_rT = aq_rT[1:] - aq_rT[:-1]
 
-                fv_lT, _, _ = lat_face_values(Tb, f1, False)
-                aq_lT = alat_lo * f1 * fv_lT
-                adv_lT = lat_shift(aq_lT, 1, 0.0) - aq_lT
-
-                if scheme == "muscl":
-                    d_mT = Tb - jnp.roll(Tb, 1, axis=2)
-                    d_pT = jnp.roll(Tb, -1, axis=2) - Tb
-                    slopeT = _van_leer(d_mT, d_pT)
-                    LT = (jnp.roll(Tb, 1, axis=2)
-                          + 0.5 * jnp.roll(slopeT, 1, axis=2))
-                    RT = Tb - 0.5 * slopeT
-                    fv_oT = jnp.where(f2 > 0, LT, RT)
-                elif scheme == "upwind":
-                    fv_oT = jnp.where(f2 > 0, jnp.roll(Tb, 1, axis=2), Tb)
+                if operands:
+                    HLT = HLT_ref[:]             # (blk, 4, nlon)
+                    Tg = (HLT[:, 0:1, :], HLT[:, 1:2, :],
+                          HLT[:, 2:3, :], HLT[:, 3:4, :])
+                    HOT = HOT_ref[:]             # (blk, nlat, 4)
+                    To = (HOT[..., 0:1], HOT[..., 1:2],
+                          HOT[..., 2:3], HOT[..., 3:4])
+                    f1_sT, f2_sT = f1_seam[0], f2_seam[0]
                 else:
-                    fv_oT = 0.5 * (jnp.roll(Tb, 1, axis=2) + Tb)
-                aq_oT = alon * f2 * fv_oT
-                adv_oT = jnp.roll(aq_oT, -1, axis=2) - aq_oT
+                    Tlo, Thi = lat_ghosts(Tb, False)
+                    Tg = (Tlo, Tlo, Thi, Thi)
+                    To = (None, None, None, None)
+                    f1_sT, f2_sT = f1_seam[0], None
+                adv_lT, _, _, _ = transverse_advect(
+                    Tb, f1, "lat", *Tg, f1_sT, alat_lo, alat_hi_last)
+                adv_oT, _, _, _ = transverse_advect(
+                    Tb, f2, "lon", *To, f2_sT, alon, alon)
 
                 adv_T_ = ((adv_rT + adv_lT + adv_oT) * inv_vol
                           - Tb * div_u)
@@ -531,6 +700,20 @@ class ShellForcingPallas:
             bspec((K, blk, nlat), lambda i: (0, i, 0)),      # metrics
             bspec((3, nlat), lambda i: (0, 0)),              # lat consts
         ]
+        if self.halo_mode == "operands":
+            in_specs += [
+                bspec((3, blk, 4, nlon), lambda i: (0, i, 0, 0)),  # HLu
+                bspec((blk, 2, nlon), lambda i: (i, 0, 0)),        # HLp
+                bspec((blk, 1, nlon), lambda i: (i, 0, 0)),        # HLf1
+                bspec((3, blk, nlat, 4), lambda i: (0, i, 0, 0)),  # HOu
+                bspec((blk, nlat, 2), lambda i: (i, 0, 0)),        # HOp
+                bspec((blk, nlat, 1), lambda i: (i, 0, 0)),        # HOf2
+            ]
+            if advect_T:
+                in_specs += [
+                    bspec((blk, 4, nlon), lambda i: (i, 0, 0)),    # HLT
+                    bspec((blk, nlat, 4), lambda i: (i, 0, 0)),    # HOT
+                ]
         u_out = bspec((3, blk, nlat, nlon), lambda i: (0, i, 0, 0))
         if advect_T:
             out_specs = [u_out, fld()]
@@ -815,9 +998,19 @@ class ShellProjectionPallas:
 
 
 def make_shell_projection(geo: Geometry, model, *, interpret: bool = False,
-                          use_pallas: Optional[bool] = None):
-    """Gate the fused projection kernels; None -> jnp path."""
+                          use_pallas: Optional[bool] = None,
+                          n_devices: Optional[int] = None):
+    """Gate the fused projection kernels; None -> jnp path.
+
+    ``n_devices`` > 1 disables the kernels (VERDICT r2 item 3: GSPMD
+    cannot see through a pallas_call, so a sharded jit would replicate
+    the arrays — multi-chip runs take the jnp path, which GSPMD
+    partitions correctly). Interpret mode is exempt (test-only)."""
     if geo.kind != "shell":
+        return None
+    if n_devices is None:
+        n_devices = len(jax.devices())
+    if n_devices > 1 and not interpret:
         return None
     nr, nlat, nlon = geo.cell_shape
     if use_pallas is None:
@@ -836,13 +1029,24 @@ def make_shell_projection(geo: Geometry, model, *, interpret: bool = False,
 
 
 def make_shell_forcing(geo: Geometry, model, *, interpret: bool = False,
-                       use_pallas: Optional[bool] = None):
+                       use_pallas: Optional[bool] = None,
+                       n_devices: Optional[int] = None):
     """Factory gating the fused kernel to supported configurations;
-    returns None when the jnp path should be used."""
+    returns None when the jnp path should be used.
+
+    ``n_devices`` > 1 returns None — the single-device kernel must not
+    run under a sharded jit (GSPMD would replicate it). Multi-chip runs
+    keep the fused path via BoussinesqModel.enable_sharded_pallas(mesh),
+    which wraps this kernel's operands-mode twin in shard_map
+    (parallel/sharded_pallas.py)."""
     if geo.kind != "shell":
         return None
     if model.advection_form != "advective":
         return None  # FEEC rotational form keeps the jnp path (for now)
+    if n_devices is None:
+        n_devices = len(jax.devices())
+    if n_devices > 1 and not interpret:
+        return None
     nr, nlat, nlon = geo.cell_shape
     if use_pallas is None:
         from dycoreplanet_tpu.ops import pallas_kernels

@@ -1,0 +1,133 @@
+"""Multi-device fused forcing: shard_map + operands-mode Pallas kernel
+(interpret mode) against the single-device jnp oracle — the 1-vs-N
+equivalence of test_sharding.py with the Pallas path ACTIVE (VERDICT r2
+item 3; generalizes the reference's mpirun=1/2 golden outputs,
+test/test_dummy.mpirun=*.output)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from dycoreplanet_tpu.ops.pallas_stencil import (ShellForcingPallas,
+                                                 make_shell_forcing)
+from dycoreplanet_tpu.parallel.mesh import build_mesh, shard_state
+from tests.test_pallas_stencil import _model, _seeded_fields, _rhs
+
+
+def _operands_twin(m, loc, **over):
+    kw = dict(dtype=np.float64, beta=loc.s_beta, T_ref=loc.s_Tref,
+              rho_background=loc.s_rho_bg,
+              gravity_r=np.asarray(m.gravity[0]),
+              one_over_Re=loc.s_iRe, omega_hat=loc.s_omega,
+              coriolis_mode=loc.coriolis_mode, buoyancy=loc.buoyancy,
+              scheme=loc.scheme, include_gradp=loc.include_gradp,
+              advect_T=loc.advect_T,
+              T_wall=(loc.T_wall if loc.advect_T else None),
+              dt_T_factor=loc.dt_T_factor, interpret=True)
+    kw.update(over)
+    return ShellForcingPallas(m.geo, halo_mode="operands", **kw)
+
+
+@pytest.mark.parametrize("scheme", ["muscl", "upwind", "centered"])
+def test_operands_mode_matches_oracle_single_device(scheme):
+    """Operands-mode kernel with locally-built halos == jnp oracle."""
+    m = _model(scheme=scheme)
+    loc = make_shell_forcing(m.geo, m, interpret=True, use_pallas=True)
+    op = _operands_twin(m, loc)
+    u, faces, T, pres = _seeded_fields(m)
+    dt = 0.01
+    want = np.asarray(u + dt * m._explicit_forcing(u, faces, pres, T))
+    halos = op.build_local_halos(u, faces, T, pres)
+    got = np.asarray(_rhs(op(u, faces, T, pres, dt, halos=halos)))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+    if op.advect_T:
+        gT = np.asarray(op(u, faces, T, pres, dt, halos=halos)[1])
+        lT = np.asarray(loc(u, faces, T, pres, dt)[1])
+        np.testing.assert_allclose(gT, lT, rtol=1e-12, atol=1e-13)
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2), (1, 8), (2, 2)])
+def test_sharded_forcing_matches_oracle(mesh_shape):
+    """shard_map(ppermute halos -> per-shard kernel) over an 8-device
+    (and 4-device) CPU mesh == the unsharded jnp forcing."""
+    A, B = mesh_shape
+    n = A * B
+    devices = np.asarray(jax.devices()[:n]).reshape(A, B)
+    mesh = Mesh(devices, ("lat", "lon"))
+    m = _model()  # 8 x 8 x 16 shell
+    loc = make_shell_forcing(m.geo, m, interpret=True, use_pallas=True)
+    from dycoreplanet_tpu.parallel.sharded_pallas import ShardedShellForcing
+
+    sharded = ShardedShellForcing(_operands_twin(m, loc), mesh,
+                                  interpret=True)
+    u, faces, T, pres = _seeded_fields(m, seed=3)
+    dt = 0.01
+    want = np.asarray(u + dt * m._explicit_forcing(u, faces, pres, T))
+    got_out = sharded(u, faces, T, pres, dt)
+    got = np.asarray(_rhs(got_out))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+    if sharded.advect_T:
+        wT = np.asarray(loc(u, faces, T, pres, dt)[1])
+        np.testing.assert_allclose(np.asarray(got_out[1]), wT,
+                                   rtol=1e-12, atol=1e-13)
+
+
+def test_model_full_step_sharded_pallas():
+    """Full sharded model step with enable_sharded_pallas == the
+    unsharded step (1-vs-8 equivalence, Pallas path active)."""
+    m_ref = _model()
+    m_sh = _model()
+    mesh = build_mesh(m_sh.geo)
+    assert m_sh.enable_sharded_pallas(mesh, interpret=True)
+    from dycoreplanet_tpu.parallel.sharded_pallas import ShardedShellForcing
+
+    assert isinstance(m_sh._forcing_pallas, ShardedShellForcing)
+
+    state = m_ref.initial_state()
+    dt = float(m_ref.params.time_step)
+    s_ref = state
+    for _ in range(3):
+        s_ref, _ = m_ref.step(s_ref, dt)
+
+    from dycoreplanet_tpu.parallel.mesh import state_sharding
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = state_sharding(m_sh.geo, mesh)
+    rep = NamedSharding(mesh, P())
+    s_sh = shard_state(state, m_sh.geo, mesh)
+    step = jax.jit(m_sh._step_impl, in_shardings=(sh, rep),
+                   out_shardings=(sh, rep))
+    for _ in range(3):
+        s_sh, _ = step(s_sh, jnp.float64(dt))
+
+    for name in ("u", "p", "T"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s_sh, name)),
+            np.asarray(getattr(s_ref, name)), rtol=1e-9, atol=1e-11,
+            err_msg=name)
+
+
+def test_too_thin_shard_rejected():
+    """1-row lat shards cannot host width-2 halos — explicit error."""
+    from dycoreplanet_tpu.parallel.sharded_pallas import ShardedShellForcing
+
+    m = _model()
+    loc = make_shell_forcing(m.geo, m, interpret=True, use_pallas=True)
+    devices = np.asarray(jax.devices()[:8]).reshape(8, 1)
+    mesh = Mesh(devices, ("lat", "lon"))
+    with pytest.raises(ValueError, match="too thin"):
+        ShardedShellForcing(_operands_twin(m, loc), mesh, interpret=True)
+
+
+def test_multichip_guard():
+    """The single-device kernel factories refuse >1 device (compiled
+    mode) — the sharding-safety guard of VERDICT item 3."""
+    from dycoreplanet_tpu.ops.pallas_stencil import make_shell_projection
+
+    m = _model()
+    assert make_shell_forcing(m.geo, m, use_pallas=True,
+                              n_devices=8) is None
+    assert make_shell_projection(m.geo, m, use_pallas=True,
+                                 n_devices=8) is None
