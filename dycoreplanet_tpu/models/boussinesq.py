@@ -240,6 +240,45 @@ class BoussinesqModel:
         self._jit_step = jax.jit(self._step_consts)
 
     # ------------------------------------------------------------------
+    def prepare_sharded(self, mesh=None, *, interpret: bool = False,
+                        pallas: bool = True):
+        """Configure this model for multi-device execution — the
+        canonical sharded setup measured by SCALING.md and pinned by
+        tests/test_collectives.py:
+
+        * pressure Poisson: the shell fast-diagonalization solve is
+          wrapped in shard_map so its ONLY collective is one
+          field-sized `psum` per solve (solvers/spectral.py
+          ShardedShellPoissonFastDiag). Left to GSPMD the same solve
+          reshards with pencil-transpose all-to-alls — ~85% of step
+          communication at 8 devices in round 2 (SCALING.md).
+        * forcing kernel: wrapped in shard_map with ppermute halos
+          (enable_sharded_pallas) when the platform runs Pallas; the
+          GSPMD-partitionable jnp path otherwise.
+
+        Call BEFORE the first step; jit caches are reset."""
+        from dycoreplanet_tpu.solvers.spectral import (
+            ShellPoissonFastDiag, ShardedShellPoissonFastDiag)
+
+        if (mesh is not None
+                and isinstance(self.poisson_spectral, ShellPoissonFastDiag)):
+            self.poisson_spectral = ShardedShellPoissonFastDiag(
+                self.poisson_spectral, mesh)
+            self._setup_const_registry()
+        if mesh is not None and pallas:
+            self.enable_sharded_pallas(mesh, interpret=interpret)
+        self._reset_jit_caches()
+        return self
+
+    def _reset_jit_caches(self):
+        self._jit_step = jax.jit(self._step_consts)
+        self._device_consts = None
+        for attr in ("_jit_multi_step", "_jit_step_cg", "_jit_temp_step",
+                     "_jit_temp_step_cg"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+
+    # ------------------------------------------------------------------
     def enable_sharded_pallas(self, mesh, *, interpret: bool = False):
         """Keep the fused forcing kernel on a multi-device ('lat','lon')
         mesh: replaces the forcing stage with the shard_map-wrapped
@@ -261,11 +300,7 @@ class BoussinesqModel:
         self._forcing_pallas = ShardedShellForcing(
             base, mesh, interpret=interpret)
         self._proj_pallas = None
-        self._jit_step = jax.jit(self._step_consts)
-        for attr in ("_jit_multi_step", "_jit_step_cg", "_jit_temp_step",
-                     "_jit_temp_step_cg"):
-            if hasattr(self, attr):
-                delattr(self, attr)
+        self._reset_jit_caches()
         return True
 
     # ------------------------------------------------------------------

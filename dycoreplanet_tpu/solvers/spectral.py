@@ -645,3 +645,91 @@ def make_poisson_solver(geo: Geometry, dtype=jnp.float32,
     if _uniform_radial(geo):
         return ShellPoissonFastDiag(geo, dtype=dtype)
     return ShellPoissonSpectral(geo, dtype=dtype, use_pallas=use_pallas, **kw)
+
+
+class ShardedShellPoissonFastDiag:
+    """ShellPoissonFastDiag on a ('lat'[, 'lon']) device mesh with the
+    north-star communication contract: the ONLY collective is one
+    field-sized `psum` per solve direction.
+
+    GSPMD left to itself reshards the solver's lat/lon contractions
+    with pencil-transpose all-to-alls (measured 105-161 all-to-all ops
+    per step, ~85% of step communication — SCALING.md round 2, VERDICT
+    item 4). Under shard_map the contraction over the sharded axes is
+    written as it should execute: each shard contracts its local slice
+    of the DFT/eigentransform operators (F columns, V latitude rows),
+    then ONE `lax.psum` over the mesh completes the forward transforms
+    — "the pressure-solve allreduces are the only global collectives"
+    (BASELINE north star; reference analogue: the Allreduce inside each
+    Krylov dot, SURVEY §5). The eigen-space work (radial transforms +
+    pointwise divide) is replicated — redundant compute on an
+    (nr, nlat, nlon+2)-sized array is far cheaper than transposing it.
+    The backward transforms are fully local: each shard applies its own
+    rows of V^T and G.
+    """
+
+    def __init__(self, base: ShellPoissonFastDiag, mesh):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        self.geo = base.geo
+        self.nm = base.nm
+        self.mesh = mesh
+        self._axes = tuple(n for n in ("lat", "lon")
+                           if n in mesh.axis_names)
+        if not self._axes:
+            raise ValueError("mesh has neither 'lat' nor 'lon' axis")
+        # host numpy copies so the model's const-hoisting registry can
+        # pick them up from THIS object (vars() walk)
+        self._F = np.asarray(base._F)
+        self._G = np.asarray(base._G)
+        self._V = np.asarray(base._V)
+        self._Q = np.asarray(base._Q)
+        self._inv_denom = np.asarray(base._inv_denom)
+
+        lat = "lat" if "lat" in mesh.axis_names else None
+        lon = "lon" if "lon" in mesh.axis_names else None
+        axes = self._axes
+
+        def local_solve(b, F, G, V, Q, inv_denom):
+            nm = self.nm
+            acc = jnp.promote_types(b.dtype, jnp.float32)
+            hi = jax.lax.Precision.HIGHEST
+            bw = b.astype(acc)
+            # forward transforms: contract the LOCAL lon columns and
+            # lat rows, then one psum completes both contractions
+            bh = jnp.einsum("kl,ijl->ijk", F, bw, precision=hi)
+            bs = jnp.stack([bh[..., :nm], bh[..., nm:]], axis=2)
+            yh_part = jnp.einsum("kjm,ijsk->imsk", V, bs, precision=hi)
+            yh = jax.lax.psum(yh_part, axes)     # THE solver all-reduce
+            # replicated eigen-space work (radial transform + divide)
+            zh = jnp.einsum("ia,imsk->amsk", Q, yh, precision=hi)
+            wh = zh * inv_denom
+            xh = jnp.einsum("ia,amsk->imsk", Q, wh, precision=hi)
+            # backward transforms: fully local rows of V / G
+            xs = jnp.einsum("kjm,imsk->ijsk", V, xh, precision=hi)
+            xk = jnp.concatenate([xs[:, :, 0, :], xs[:, :, 1, :]], axis=2)
+            x = jnp.einsum("lk,ijk->ijl", G, xk, precision=hi)
+            return x.astype(b.dtype)
+
+        cell = P(None, lat, lon)
+        self._mapped = shard_map(
+            local_solve, mesh=mesh,
+            in_specs=(cell, P(None, lon), P(lon, None),
+                      P(None, lat, None), P(), P()),
+            out_specs=cell, check_vma=False)
+
+    def __call__(self, b: jnp.ndarray) -> jnp.ndarray:
+        return self.solve(b)[0]
+
+    def solve(self, b: jnp.ndarray):
+        dt = b.dtype
+        x = self._mapped(b, jnp.asarray(self._F, dt),
+                         jnp.asarray(self._G, dt),
+                         jnp.asarray(self._V, dt),
+                         jnp.asarray(self._Q, dt),
+                         jnp.asarray(self._inv_denom, dt))
+        return x, jnp.asarray(0, jnp.int32)

@@ -90,3 +90,103 @@ def test_collective_byte_volume_bounds():
         b2 = results[2][op]["bytes"]
         b8 = results[8][op]["bytes"]
         assert b8 <= max(factor * b2, field_bytes), (op, b2, b8)
+
+
+def test_sharded_fastdiag_poisson_psum_only():
+    """prepare_sharded's pressure solve: the ONLY collective is the
+    solver all-reduce (psum) — zero all-to-all, zero all-gather (the
+    BASELINE north star sentence, verbatim). Round 2's GSPMD-resharded
+    spectral solve cost 133 all-to-alls / 11.2 MB per device per step
+    (SCALING.md); VERDICT item 4."""
+    import __graft_entry__ as g
+    from dycoreplanet_tpu.solvers.spectral import (
+        ShellPoissonFastDiag, ShardedShellPoissonFastDiag)
+    import jax.numpy as jnp
+
+    model = g._make_model("float32", shape=(8, 32, 64))
+    mesh = build_mesh(model.geo)
+    base = model.poisson_spectral
+    assert isinstance(base, ShellPoissonFastDiag)
+    sharded = ShardedShellPoissonFastDiag(base, mesh)
+
+    cell = NamedSharding(mesh, P(None, "lat", "lon"))
+    rng = np.random.RandomState(0)
+    b = jnp.asarray(rng.randn(8, 32, 64).astype(np.float32))
+    b = b - jnp.mean(b)
+    bsh = jax.device_put(b, cell)
+    solve = jax.jit(lambda x: sharded.solve(x)[0],
+                    in_shardings=cell, out_shardings=cell)
+    txt = solve.lower(bsh).compile().as_text()
+    counts = {
+        op: len(re.findall(rf"{op}(?:-start)?\.?\d*\s*=", txt))
+        for op in ("all-reduce", "all-gather", "all-to-all",
+                   "reduce-scatter")
+    }
+    assert counts["all-to-all"] == 0, counts
+    assert counts["all-gather"] == 0, counts
+    # the psum lowers to <= 2 all-reduces; the standalone-compiled
+    # module sometimes folds it entirely (numerics are pinned end-to-end
+    # by test_prepare_sharded_step_matches_unsharded below)
+    assert counts["all-reduce"] <= 2, counts
+
+
+def test_prepare_sharded_step_all_to_all_volume():
+    """Full prepare_sharded step: no field-sized transposes remain.
+    The residual all-to-alls are ghost-row-sized concat reshuffles of
+    the jnp stencil pads (SCALING.md r3) — bound their total volume to
+    a fraction of one per-shard field so a field-sized transpose can
+    never sneak back in."""
+    import __graft_entry__ as g
+    from dycoreplanet_tpu.parallel.comm_analysis import collective_bytes
+
+    model = g._make_model("float32", shape=(8, 32, 64))
+    mesh = build_mesh(model.geo)
+    model.prepare_sharded(mesh, pallas=False)
+    state = shard_state(model.initial_state(), model.geo, mesh)
+    sh = state_sharding(model.geo, mesh)
+    rep = NamedSharding(mesh, P())
+    step = jax.jit(model._step_impl,
+                   in_shardings=(sh, rep), out_shardings=(sh, rep))
+    txt = step.lower(state, np.float32(0.01)).compile().as_text()
+    s = collective_bytes(txt)
+    field = 4 * 8 * 32 * 64  # one GLOBAL f32 field
+    # measured r3: 0.87 MB = 13 field-equivalents — every size-changing
+    # pad_axis concat along a sharded axis reshards its whole array
+    # (vs r2's 11.2 MB spectral transposes, now psum-only). Bounded
+    # here so it can only go DOWN; the roll-based stencil path is the
+    # remaining fix for the jnp pads.
+    assert s["all-to-all"]["bytes"] <= 16 * field, s
+    assert s["all-gather"]["bytes"] <= field // 4, s
+    # the Poisson psum payload is one (nr, nlat, 2, nlon/2+1) spectral
+    # field = (1 + 2/nlon) cell fields; plus scalar Krylov dots
+    assert s["all-reduce"]["bytes"] <= 1.25 * field, s
+
+
+def test_prepare_sharded_step_matches_unsharded():
+    """Numerics of the canonical sharded setup (sharded fast-diag
+    Poisson + GSPMD jnp stencils) == the unsharded step."""
+    import __graft_entry__ as g
+    import jax.numpy as jnp
+
+    m_ref = g._make_model("float32", shape=(8, 16, 32))
+    m_sh = g._make_model("float32", shape=(8, 16, 32))
+    mesh = build_mesh(m_sh.geo, jax.devices()[:4])
+    m_sh.prepare_sharded(mesh, pallas=False)
+
+    state = m_ref.initial_state()
+    u = jnp.asarray(np.random.RandomState(1).randn(
+        3, 8, 16, 32).astype(np.float32)) * 0.05
+    faces = tuple(m_ref._apply_wall_face_values(
+        m_ref._interp_component_to_faces(u[c], c), c) for c in range(3))
+    state = state._replace(u=u, u_faces=faces)
+
+    ref, _ = m_ref.step(state, 0.01)
+    sh = state_sharding(m_sh.geo, mesh)
+    rep = NamedSharding(mesh, P())
+    step = jax.jit(m_sh._step_impl, in_shardings=(sh, rep),
+                   out_shardings=(sh, rep))
+    got, _ = step(shard_state(state, m_sh.geo, mesh), np.float32(0.01))
+    np.testing.assert_allclose(np.asarray(got.u), np.asarray(ref.u),
+                               rtol=5e-5, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(got.T), np.asarray(ref.T),
+                               rtol=5e-5, atol=5e-6)
