@@ -210,8 +210,21 @@ def _run(params, args) -> int:
         print(f"Time step {n}:  t={time_index:.6g} -> t={time_index + dt:.6g}"
               f"  (dt={dt:.6g} | final time={params.final_time})")
         with timers.scope("step: NSE + temperature solve"):
-            state, diag = model.step(state, dt)
+            hists = None
+            if params.solver_diagnostics_print_level >= 3:
+                # per-iteration solver residual trails (the reference's
+                # deallog histories at high 'solver diagnostics level',
+                # main.cxx:89-90)
+                state, diag, hists = model.step_verbose(state, dt)
+            else:
+                state, diag = model.step(state, dt)
             jax.block_until_ready(state.u)
+        if hists:
+            for name in sorted(hists):
+                trail = np.asarray(hists[name])
+                trail = trail[~np.isnan(trail)]
+                txt = "  ".join(f"{r:.3e}" for r in trail)
+                print(f"   [{name}] ||r|| trail ({trail.size} its): {txt}")
         print(f"   Max of local CFL numbers: {float(diag.cfl):.6g}")
         print(f"   Max velocity (dimensionless): {float(diag.max_velocity):.6g}")
         print(f"   Max velocity (with dimensions): "

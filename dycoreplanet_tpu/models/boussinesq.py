@@ -237,6 +237,10 @@ class BoussinesqModel:
         # every subsequent step/chunk (ADVICE r2: a non-mass-dominated
         # system would otherwise silently double its solve cost)
         self._fast_path_disabled = False
+        # runtime solver residual streaming (deallog analogue, enabled
+        # by step_verbose at `solver diagnostics level` >= 3)
+        self._solver_trace = False
+        self._trace_sink = []
         self._jit_step = jax.jit(self._step_consts)
 
     # ------------------------------------------------------------------
@@ -260,6 +264,10 @@ class BoussinesqModel:
         from dycoreplanet_tpu.solvers.spectral import (
             ShellPoissonFastDiag, ShardedShellPoissonFastDiag)
 
+        # GSPMD-friendly wall shifts in the jnp stencil ops (process-
+        # wide tracing flag; single-device models traced afterwards pay
+        # a ~2x step cost — flip back with ops.stencil.set_sharded_mode)
+        st.set_sharded_mode(True)
         if (mesh is not None
                 and isinstance(self.poisson_spectral, ShellPoissonFastDiag)):
             self.poisson_spectral = ShardedShellPoissonFastDiag(
@@ -826,12 +834,16 @@ class BoussinesqModel:
         if k_fix > 0:
             res = richardson_solve(temp_op, rhs_T, x0, diag=diag_T,
                                    iters=k_fix,
-                                   rtol=p.numerics.temperature_tol)
+                                   rtol=p.numerics.temperature_tol,
+                                   record_history=self._hist_n())
+            self._stash_history("temperature richardson", res)
         else:
             res = cg(temp_op, rhs_T, x0=x0,
                      rtol=p.numerics.temperature_tol,
                      maxiter=p.numerics.max_cg_iters,
-                     preconditioner=lambda r: r / diag_T)
+                     preconditioner=lambda r: r / diag_T,
+                     record_history=self._hist_n())
+            self._stash_history("temperature CG", res)
         return res.x, res.iterations, res.residual_norm, res.converged
 
     # ------------------------------------------------------------------
@@ -857,7 +869,9 @@ class BoussinesqModel:
         pres_res = cg(poisson_op, rhs_phi,
                       rtol=p.numerics.poisson_tol,
                       maxiter=p.numerics.max_cg_iters,
-                      preconditioner=precond)
+                      preconditioner=precond,
+                      record_history=self._hist_n())
+        self._stash_history("poisson CG", pres_res)
         return (pres_res.x, pres_res.iterations, pres_res.residual_norm,
                 pres_res.converged)
 
@@ -893,12 +907,16 @@ class BoussinesqModel:
             if k_fix > 0:
                 helm_res = richardson_solve(
                     helm_op, vol[None] * rhs_u, rhs_u, diag=helm_diag,
-                    iters=k_fix, rtol=p.numerics.helmholtz_tol)
+                    iters=k_fix, rtol=p.numerics.helmholtz_tol,
+                    record_history=self._hist_n())
+                self._stash_history("helmholtz richardson", helm_res)
             else:
                 helm_res = cg(helm_op, vol[None] * rhs_u, x0=rhs_u,
                               rtol=p.numerics.helmholtz_tol,
                               maxiter=p.numerics.max_cg_iters,
-                              preconditioner=lambda r: r / helm_diag)
+                              preconditioner=lambda r: r / helm_diag,
+                              record_history=self._hist_n())
+                self._stash_history("helmholtz CG", helm_res)
             u_star = helm_res.x
             helm_iters = [helm_res.iterations] * dim
             helm_rnorm_out = helm_res.residual_norm
@@ -1053,7 +1071,9 @@ class BoussinesqModel:
             res_p = gmres(S_op, schur_rhs,
                           rtol=1e-6, restart=30,
                           maxiter=p.numerics.max_cg_iters,
-                          preconditioner=lambda r: -poisson_inv(r) / dt)
+                          preconditioner=lambda r: -poisson_inv(r) / dt,
+                          record_history=self._hist_n())
+            self._stash_history("schur GMRES", res_p)
             p_sol = res_p.x
             u_sol = A_inv(f - G_op(p_sol))
             outer_iters = res_p.iterations
@@ -1075,7 +1095,9 @@ class BoussinesqModel:
             b = jnp.concatenate([f, jnp.zeros_like(f[:1])], 0)
             res = gmres(K_op, b, rtol=p.numerics.helmholtz_tol,
                         restart=30, maxiter=p.numerics.max_cg_iters,
-                        preconditioner=M_inv)
+                        preconditioner=M_inv,
+                        record_history=self._hist_n())
+            self._stash_history("coupled FGMRES", res)
 
             if self._enable_solver_fallback:
                 # reference parity: on NoConvergence, retry with the
@@ -1097,12 +1119,15 @@ class BoussinesqModel:
                     # iterative CG, so the Arnoldi relation only holds
                     # with stored Z-vectors (true FGMRES, reference:
                     # SolverFGMRES tpp:1191-1228)
-                    return gmres(K_op, b, x0=res.x,
+                    rres = gmres(K_op, b, x0=res.x,
                                  rtol=p.numerics.helmholtz_tol,
                                  restart=50,
                                  maxiter=p.numerics.max_cg_iters,
                                  preconditioner=M_inv_strong,
-                                 flexible=True)
+                                 flexible=True,
+                                 record_history=self._hist_n())
+                    # match the primary result's pytree (lax.cond)
+                    return rres
 
                 res = jax.lax.cond(res.converged, lambda _: res, retry,
                                    None)
@@ -1262,7 +1287,9 @@ class BoussinesqModel:
         # swallows this inexactness; see SURVEY §3.5)
         res = gmres(K_op, b, rtol=p.numerics.helmholtz_tol,
                     restart=30, maxiter=p.numerics.max_cg_iters,
-                    preconditioner=M_inv, flexible=True)
+                    preconditioner=M_inv, flexible=True,
+                    record_history=self._hist_n())
+        self._stash_history("FEEC 3x3 FGMRES", res)
         u_sol = res.x[nw:nw + dim]
         p_sol = res.x[nw + dim]
 
@@ -1274,6 +1301,42 @@ class BoussinesqModel:
                 res.residual_norm, res.converged)
 
     # ------------------------------------------------------------------
+    _HIST_CAP = 48  # recorded residual-trail length per solve
+
+    def _hist_n(self) -> int:
+        """record_history length for the solver calls (0 disables;
+        reference: deallog depth from 'solver diagnostics level',
+        main.cxx:89-90)."""
+        return self._HIST_CAP if self._solver_trace else 0
+
+    def _stash_history(self, name: str, res) -> None:
+        if self._solver_trace and getattr(res, "history", None) is not None:
+            self._trace_sink.append((name, res.history))
+
+    def step_verbose(self, state: State, dt: float):
+        """One step that also returns per-iteration solver residual
+        trails — the CLI path for `solver diagnostics level` >= 3
+        (the axon TPU platform has no host callbacks, so the trails are
+        recorded on device and printed by the caller). Returns
+        (new_state, diagnostics, {solver_name: residual_trail}).
+        Separately jitted; never used inside the scanned loop."""
+        if not hasattr(self, "_jit_step_verbose"):
+            def verbose_consts(state, dt, cvals):
+                old = self._solver_trace
+                self._solver_trace = True
+                self._trace_sink = []
+                try:
+                    with self._bound_consts(cvals):
+                        ns, packed = self._step_impl(state, dt)
+                    return ns, packed, dict(self._trace_sink)
+                finally:
+                    self._solver_trace = old
+
+            self._jit_step_verbose = jax.jit(verbose_consts)
+        new_state, packed, hists = self._jit_step_verbose(
+            state, dt, self._const_values())
+        return new_state, StepDiagnostics(packed, self.geo.dim), hists
+
     def step(self, state: State, dt: float):
         """One jitted time step; returns (new_state, diagnostics).
 

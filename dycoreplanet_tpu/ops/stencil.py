@@ -29,17 +29,87 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from dycoreplanet_tpu.grid.geometry import Geometry
-from dycoreplanet_tpu.ops.bc import BC, BCSpec, pad_axis
+from dycoreplanet_tpu.ops.bc import BC, BCSpec, _ghost, pad_axis
 
 
 def _sl(f: jnp.ndarray, d: int, idx) -> jnp.ndarray:
     sl = [slice(None)] * f.ndim
     sl[d] = idx
     return f[tuple(sl)]
+
+
+# Sharded-safe mode for the wall-axis shifts (set via set_sharded_mode,
+# normally by BoussinesqModel.prepare_sharded): the roll+masked-select
+# form keeps every array size-preserving, so GSPMD lowers the shifts to
+# edge-sized collective-permutes — where the concat form reshards the
+# WHOLE array with an all-to-all (measured 13 field-equivalents/step,
+# SCALING.md r3, VERDICT item 4). Single-device the concat form wins
+# (slices of one buffer fuse; rolls materialize copies — measured
+# 2x on the full shell step), so it stays the default. Both forms
+# produce identical values.
+_SHARDED_SAFE = False
+
+
+def set_sharded_mode(enabled: bool) -> None:
+    """Select the GSPMD-friendly (roll-based) wall-shift lowering.
+    Affects tracing only; call before jit tracing (prepare_sharded
+    resets the model's jit caches after flipping this)."""
+    global _SHARDED_SAFE
+    _SHARDED_SAFE = bool(enabled)
+
+
+def sharded_mode() -> bool:
+    return _SHARDED_SAFE
+
+
+def _shift(f: jnp.ndarray, d: int, k: int, ghost) -> jnp.ndarray:
+    """Value at index i+k along axis ``d``; edge rows that would wrap
+    take the broadcastable ``ghost`` slice (``None`` = periodic wrap).
+    Ghost may be a scalar (0.0) for zero-filled edges."""
+    n = f.shape[d]
+    if ghost is None:
+        return jnp.roll(f, -k, axis=d)
+    if _SHARDED_SAFE:
+        r = jnp.roll(f, -k, axis=d)
+        idx = jax.lax.broadcasted_iota(jnp.int32, f.shape, d)
+        cond = (idx >= n - k) if k > 0 else (idx < -k)
+        return jnp.where(cond, ghost, r)
+    # local form: size-preserving concat of the ghost row + a slice
+    if not hasattr(ghost, "shape") or ghost.shape[d] != abs(k):
+        shp = list(f.shape)
+        shp[d] = abs(k)
+        ghost = jnp.broadcast_to(ghost, shp).astype(f.dtype)
+    if k > 0:
+        return jnp.concatenate([_sl(f, d, slice(k, None)), ghost], axis=d)
+    return jnp.concatenate([ghost, _sl(f, d, slice(0, n + k))], axis=d)
+
+
+def _ghost_rows(f: jnp.ndarray, d: int, spec: Optional[BCSpec],
+                periodic: bool, comp_specs=None):
+    """(lo, hi) one-wide ghost slices for axis d, or (None, None) for a
+    periodic axis (the wrap IS the closure). ``comp_specs`` gives
+    per-component specs for a component-stacked field (array axis
+    d+1)."""
+    if periodic:
+        return None, None
+    if comp_specs is not None:
+        lo = jnp.concatenate([
+            _ghost(f[c:c + 1], d + 1, "lo", comp_specs[c].lo,
+                   comp_specs[c].lo_value, -1)
+            for c in range(f.shape[0])], axis=0)
+        hi = jnp.concatenate([
+            _ghost(f[c:c + 1], d + 1, "hi", comp_specs[c].hi,
+                   comp_specs[c].hi_value, -1)
+            for c in range(f.shape[0])], axis=0)
+        return lo, hi
+    assert spec is not None, "wall axis requires a BCSpec"
+    return (_ghost(f, d, "lo", spec.lo, spec.lo_value, -1),
+            _ghost(f, d, "hi", spec.hi, spec.hi_value, -1))
 
 
 def _nf(geo: Geometry, d: int) -> int:
@@ -60,15 +130,16 @@ def to_faces(geo: Geometry, f: jnp.ndarray, d: int,
              spec: Optional[BCSpec] = None) -> jnp.ndarray:
     """Arithmetic-mean interpolation of a cell-centered field to the
     LEFT faces of axis ``d`` (cell-shaped output)."""
-    p = pad_axis(f, d, spec, geo.axes[d].periodic)
-    n = geo.axes[d].n
-    return 0.5 * (_sl(p, d, slice(0, n)) + _sl(p, d, slice(1, n + 1)))
+    g_lo, _ = _ghost_rows(f, d, spec, geo.axes[d].periodic)
+    return 0.5 * (_shift(f, d, -1, g_lo) + f)
 
 
 def diff_at_faces(geo: Geometry, f: jnp.ndarray, d: int,
                   spec: Optional[BCSpec] = None) -> jnp.ndarray:
     """Normal derivative (f_i - f_{i-1}) / dist at the FULL faces of
-    axis d (n+1 along wall axes) — internal to the diffusion operators."""
+    axis d (n+1 along wall axes) — internal to the diffusion operators.
+    NOTE: size-changing on wall axes; sharded callers should prefer the
+    cell-shaped grad_left_faces + hi-row form (weak_laplacian does)."""
     p = pad_axis(f, d, spec, geo.axes[d].periodic)
     nf = _nf(geo, d)
     dist = jnp.asarray(geo.face_dist[d], dtype=f.dtype)
@@ -78,10 +149,9 @@ def diff_at_faces(geo: Geometry, f: jnp.ndarray, d: int,
 def grad_left_faces(geo: Geometry, f: jnp.ndarray, d: int,
                     spec: Optional[BCSpec] = None) -> jnp.ndarray:
     """Normal derivative at the left faces (cell-shaped)."""
-    p = pad_axis(f, d, spec, geo.axes[d].periodic)
-    n = geo.axes[d].n
+    g_lo, _ = _ghost_rows(f, d, spec, geo.axes[d].periodic)
     dist = jnp.asarray(_left_metric(geo, d, geo.face_dist[d]), dtype=f.dtype)
-    return (_sl(p, d, slice(1, n + 1)) - _sl(p, d, slice(0, n))) / dist
+    return (f - _shift(f, d, -1, g_lo)) / dist
 
 
 def upwind_to_faces(geo: Geometry, f: jnp.ndarray, d: int, u_face: jnp.ndarray,
@@ -89,11 +159,8 @@ def upwind_to_faces(geo: Geometry, f: jnp.ndarray, d: int, u_face: jnp.ndarray,
     """First-order upwind value at the left faces selected by the sign
     of the face velocity (the FV analogue of the reference's explicit
     advection, boussinesq_model.tpp:930-937). Cell-shaped."""
-    p = pad_axis(f, d, spec, geo.axes[d].periodic)
-    n = geo.axes[d].n
-    lo = _sl(p, d, slice(0, n))
-    hi = _sl(p, d, slice(1, n + 1))
-    return jnp.where(u_face > 0, lo, hi)
+    g_lo, _ = _ghost_rows(f, d, spec, geo.axes[d].periodic)
+    return jnp.where(u_face > 0, _shift(f, d, -1, g_lo), f)
 
 
 def _van_leer(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -103,29 +170,17 @@ def _van_leer(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(ab > 0, 2.0 * ab / (a + b + 1e-300), 0.0)
 
 
-def _widen_to_2ghosts(p1: jnp.ndarray, ax: int) -> jnp.ndarray:
-    """Replicate the outermost ghost of a 1-ghost padded array."""
-    return jnp.concatenate(
-        [_sl(p1, ax, slice(0, 1)), p1, _sl(p1, ax, slice(-1, None))],
-        axis=ax)
-
-
-def _muscl_LR(p2: jnp.ndarray, ax: int, n: int):
-    """L/R face states from a 2-ghost padded array along array axis ax.
-
-    P2[k] = cell k-2; left face i sits between cells i-1 and i. One
-    limited-slope array is shared between the L and R states (cell j's
-    slope feeds face j+1 from the left and face j from the right):
-    halves the limiter evaluations of the naive two-sided form."""
-    nf2 = n + 4
-    diff = _sl(p2, ax, slice(1, nf2)) - _sl(p2, ax, slice(0, nf2 - 1))
-    slope = _van_leer(_sl(diff, ax, slice(0, n + 2)),
-                      _sl(diff, ax, slice(1, n + 3)))  # slope[m] = cell m-1
-    qm1 = _sl(p2, ax, slice(1, n + 1))   # cell i-1
-    q0 = _sl(p2, ax, slice(2, n + 2))    # cell i
-    L = qm1 + 0.5 * _sl(slope, ax, slice(0, n))
-    R = q0 - 0.5 * _sl(slope, ax, slice(1, n + 1))
-    return L, R
+def _muscl_faces_roll(f, d, u_face, g_lo, g_hi, periodic):
+    """Roll-based MUSCL L/R selection at the left faces (bit-identical
+    to the padded _muscl_LR form: the replicated outer ghosts make the
+    wall ghost-cell slope exactly 0 — _van_leer(g-g, .) = 0)."""
+    s_m1 = _shift(f, d, -1, g_lo)
+    s_p1 = _shift(f, d, 1, g_hi)
+    slope = _van_leer(f - s_m1, s_p1 - f)
+    slope_m1 = _shift(slope, d, -1, None if periodic else 0.0)
+    L = s_m1 + 0.5 * slope_m1
+    R = f - 0.5 * slope
+    return jnp.where(u_face > 0, L, R)
 
 
 def muscl_to_faces(geo: Geometry, f: jnp.ndarray, d: int, u_face: jnp.ndarray,
@@ -135,14 +190,9 @@ def muscl_to_faces(geo: Geometry, f: jnp.ndarray, d: int, u_face: jnp.ndarray,
     brings the FV transport closer to the reference's Q2 elements
     (reference: boussinesq_model.tpp:21-28 uses degree-2 velocity /
     temperature spaces). TVD: no new extrema. Cell-shaped output."""
-    n = geo.axes[d].n
-    if geo.axes[d].periodic:
-        p2 = jnp.concatenate(
-            [_sl(f, d, slice(n - 2, n)), f, _sl(f, d, slice(0, 2))], axis=d)
-    else:
-        p2 = _widen_to_2ghosts(pad_axis(f, d, spec, False), d)
-    L, R = _muscl_LR(p2, d, n)
-    return jnp.where(u_face > 0, L, R)
+    periodic = geo.axes[d].periodic
+    g_lo, g_hi = _ghost_rows(f, d, spec, periodic)
+    return _muscl_faces_roll(f, d, u_face, g_lo, g_hi, periodic)
 
 
 def face_flux_div(geo: Geometry, face_vals: Sequence[jnp.ndarray]) -> jnp.ndarray:
@@ -159,11 +209,7 @@ def face_flux_div(geo: Geometry, face_vals: Sequence[jnp.ndarray]) -> jnp.ndarra
             contrib = jnp.roll(aq, -1, axis=d) - aq
         else:
             # outflux of cell i = aq[i+1] for i<n-1, zero at the hi wall
-            n = geo.axes[d].n
-            shifted = jnp.concatenate(
-                [_sl(aq, d, slice(1, n)),
-                 jnp.zeros_like(_sl(aq, d, slice(0, 1)))], axis=d)
-            contrib = shifted - aq
+            contrib = _shift(aq, d, 1, 0.0) - aq
         out = contrib if out is None else out + contrib
     return out / vol
 
@@ -171,6 +217,16 @@ def face_flux_div(geo: Geometry, face_vals: Sequence[jnp.ndarray]) -> jnp.ndarra
 def divergence(geo: Geometry, u_faces: Sequence[jnp.ndarray]) -> jnp.ndarray:
     """Divergence of a face-normal velocity field."""
     return face_flux_div(geo, u_faces)
+
+
+def _hi_metric(geo: Geometry, d: int, metric) -> np.ndarray:
+    """Metric slice at the hi-wall face (1-wide along axis d)."""
+    m = np.asarray(metric)
+    if m.shape[d] == geo.axes[d].n + 1:
+        sl = [slice(None)] * m.ndim
+        sl[d] = slice(-1, None)
+        m = m[tuple(sl)]
+    return m
 
 
 def weak_laplacian(geo: Geometry, f: jnp.ndarray,
@@ -182,12 +238,23 @@ def weak_laplacian(geo: Geometry, f: jnp.ndarray,
     matrices of the reference (boussinesq_model.tpp:153-180)."""
     out = None
     for d in range(geo.dim):
-        g = diff_at_faces(geo, f, d, specs[d])
-        ag = jnp.asarray(geo.face_area[d], dtype=f.dtype) * g
-        if geo.axes[d].periodic:
-            contrib = jnp.roll(ag, -1, axis=d) - ag
+        periodic = geo.axes[d].periodic
+        g_lo, g_hi = _ghost_rows(f, d, specs[d], periodic)
+        dist_l = jnp.asarray(_left_metric(geo, d, geo.face_dist[d]),
+                             dtype=f.dtype)
+        area_l = jnp.asarray(_left_metric(geo, d, geo.face_area[d]),
+                             dtype=f.dtype)
+        agl = area_l * ((f - _shift(f, d, -1, g_lo)) / dist_l)
+        if periodic:
+            contrib = jnp.roll(agl, -1, axis=d) - agl
         else:
-            contrib = _sl(ag, d, slice(1, None)) - _sl(ag, d, slice(0, -1))
+            # hi-wall face flux row from the hi ghost
+            dist_h = jnp.asarray(_hi_metric(geo, d, geo.face_dist[d]),
+                                 dtype=f.dtype)
+            area_h = jnp.asarray(_hi_metric(geo, d, geo.face_area[d]),
+                                 dtype=f.dtype)
+            ag_hi = area_h * ((g_hi - _sl(f, d, slice(-1, None))) / dist_h)
+            contrib = _shift(agl, d, 1, ag_hi) - agl
         out = contrib if out is None else out + contrib
     return out
 
@@ -243,23 +310,27 @@ def weak_laplacian_stacked(geo: Geometry, f: jnp.ndarray,
     over all components (the ghost fills differ per component, the bulk
     math does not). Equals jnp.stack([weak_laplacian(geo, f[c],
     specs_list[c]) for c]) exactly."""
-    from dycoreplanet_tpu.ops.bc import pad_axis_stacked
-
     ncomp = f.shape[0]
     out = None
     for d in range(geo.dim):
         ax = d + 1
-        p = pad_axis_stacked(
-            f, d, [specs_list[c][d] for c in range(ncomp)],
-            geo.axes[d].periodic)
-        nf = _nf(geo, d)
-        dist = jnp.asarray(geo.face_dist[d], dtype=f.dtype)
-        g = (_sl(p, ax, slice(1, nf + 1)) - _sl(p, ax, slice(0, nf))) / dist
-        ag = jnp.asarray(geo.face_area[d], dtype=f.dtype) * g
-        if geo.axes[d].periodic:
-            contrib = jnp.roll(ag, -1, axis=ax) - ag
+        periodic = geo.axes[d].periodic
+        specs_d = [specs_list[c][d] for c in range(ncomp)]
+        g_lo, g_hi = _ghost_rows(f, d, None, periodic, comp_specs=specs_d)
+        dist_l = jnp.asarray(_left_metric(geo, d, geo.face_dist[d]),
+                             dtype=f.dtype)
+        area_l = jnp.asarray(_left_metric(geo, d, geo.face_area[d]),
+                             dtype=f.dtype)
+        agl = area_l * ((f - _shift(f, ax, -1, g_lo)) / dist_l)
+        if periodic:
+            contrib = jnp.roll(agl, -1, axis=ax) - agl
         else:
-            contrib = _sl(ag, ax, slice(1, None)) - _sl(ag, ax, slice(0, -1))
+            dist_h = jnp.asarray(_hi_metric(geo, d, geo.face_dist[d]),
+                                 dtype=f.dtype)
+            area_h = jnp.asarray(_hi_metric(geo, d, geo.face_area[d]),
+                                 dtype=f.dtype)
+            ag_hi = area_h * ((g_hi - _sl(f, ax, slice(-1, None))) / dist_h)
+            contrib = _shift(agl, ax, 1, ag_hi) - agl
         out = contrib if out is None else out + contrib
     return out
 
@@ -277,47 +348,31 @@ def advect_vector(
     with per-component BCs — one fused reconstruction/flux pass per axis
     instead of ncomp separate chains. Exactly equals stacking the
     scalar calls."""
-    from dycoreplanet_tpu.ops.bc import pad_axis_stacked
-
     ncomp = f.shape[0]
     dtype = f.dtype
     vol = jnp.asarray(geo.vol, dtype=dtype)
     out = None
     for d in range(geo.dim):
         ax = d + 1
-        n = geo.axes[d].n
+        periodic = geo.axes[d].periodic
         specs_d = [specs_list[c][d] for c in range(ncomp)]
         uf = u_faces[d][None]
+        g_lo, g_hi = _ghost_rows(f, d, None, periodic, comp_specs=specs_d)
         if scheme == "muscl":
-            if geo.axes[d].periodic:
-                p2 = jnp.concatenate(
-                    [_sl(f, ax, slice(n - 2, n)), f, _sl(f, ax, slice(0, 2))],
-                    axis=ax)
-            else:
-                p2 = _widen_to_2ghosts(
-                    pad_axis_stacked(f, d, specs_d, False), ax)
-            L, R = _muscl_LR(p2, ax, n)
-            fv = jnp.where(uf > 0, L, R)
+            fv = _muscl_faces_roll(f, ax, uf, g_lo, g_hi, periodic)
         elif scheme == "upwind":
-            p = pad_axis_stacked(f, d, specs_d, geo.axes[d].periodic)
-            lo = _sl(p, ax, slice(0, n))
-            hi = _sl(p, ax, slice(1, n + 1))
-            fv = jnp.where(uf > 0, lo, hi)
+            fv = jnp.where(uf > 0, _shift(f, ax, -1, g_lo), f)
         elif scheme == "centered":
-            p = pad_axis_stacked(f, d, specs_d, geo.axes[d].periodic)
-            fv = 0.5 * (_sl(p, ax, slice(0, n)) + _sl(p, ax, slice(1, n + 1)))
+            fv = 0.5 * (_shift(f, ax, -1, g_lo) + f)
         else:
             raise ValueError(f"unknown advection scheme {scheme!r}")
         area = jnp.asarray(_left_metric(geo, d, geo.face_area[d]),
                            dtype=dtype)
         aq = area * (uf * fv)
-        if geo.axes[d].periodic:
+        if periodic:
             contrib = jnp.roll(aq, -1, axis=ax) - aq
         else:
-            shifted = jnp.concatenate(
-                [_sl(aq, ax, slice(1, n)),
-                 jnp.zeros_like(_sl(aq, ax, slice(0, 1)))], axis=ax)
-            contrib = shifted - aq
+            contrib = _shift(aq, ax, 1, 0.0) - aq
         out = contrib if out is None else out + contrib
     out = out / vol
     if form == "flux":
@@ -333,10 +388,17 @@ def centered_gradient(geo: Geometry, f: jnp.ndarray, d: int,
                       spec: Optional[BCSpec] = None) -> jnp.ndarray:
     """Cell-centered gradient component along axis d: average of the two
     adjacent face-normal derivatives."""
-    g = diff_at_faces(geo, f, d, spec)
-    if geo.axes[d].periodic:
-        return 0.5 * (g + jnp.roll(g, -1, axis=d))
-    return 0.5 * (_sl(g, d, slice(0, -1)) + _sl(g, d, slice(1, None)))
+    periodic = geo.axes[d].periodic
+    g_lo, g_hi = _ghost_rows(f, d, spec, periodic)
+    dist_l = jnp.asarray(_left_metric(geo, d, geo.face_dist[d]),
+                         dtype=f.dtype)
+    gl = (f - _shift(f, d, -1, g_lo)) / dist_l
+    if periodic:
+        return 0.5 * (gl + jnp.roll(gl, -1, axis=d))
+    dist_h = jnp.asarray(_hi_metric(geo, d, geo.face_dist[d]),
+                         dtype=f.dtype)
+    g_hi_row = (g_hi - _sl(f, d, slice(-1, None))) / dist_h
+    return 0.5 * (gl + _shift(gl, d, 1, g_hi_row))
 
 
 def cell_max_speed(geo: Geometry, u: jnp.ndarray) -> jnp.ndarray:

@@ -73,6 +73,8 @@ def sharded_step_hlo(model, n_devices: int,
     if devices is None:
         devices = jax.devices("cpu")[:n_devices]
     mesh = build_mesh(model.geo, devices)
+    if getattr(model, "_comm_prepare_sharded", False):
+        model.prepare_sharded(mesh, pallas=False)
     state = shard_state(model.initial_state(), model.geo, mesh)
     sh = state_sharding(model.geo, mesh)
     rep = NamedSharding(mesh, P())
@@ -81,5 +83,14 @@ def sharded_step_hlo(model, n_devices: int,
     return step.lower(state, np.float32(0.01)).compile().as_text()
 
 
-def step_comm_summary(model, n_devices: int) -> Dict[str, Dict[str, int]]:
-    return collective_bytes(sharded_step_hlo(model, n_devices))
+def step_comm_summary(model, n_devices: int,
+                      prepare: bool = False) -> Dict[str, Dict[str, int]]:
+    """Collective {count, bytes} of the compiled sharded step.
+    ``prepare=True`` measures the canonical multi-device configuration
+    (BoussinesqModel.prepare_sharded: sharded fast-diag Poisson +
+    roll-based stencil lowering) instead of the GSPMD default."""
+    model._comm_prepare_sharded = prepare
+    try:
+        return collective_bytes(sharded_step_hlo(model, n_devices))
+    finally:
+        model._comm_prepare_sharded = False

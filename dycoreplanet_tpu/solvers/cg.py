@@ -35,6 +35,11 @@ class CGResult(NamedTuple):
     iterations: jnp.ndarray     # scalar int32
     residual_norm: jnp.ndarray  # scalar, best ||r|| reached
     converged: jnp.ndarray      # scalar bool
+    # per-iteration ||r|| trail (NaN-padded), present only when the
+    # solve was called with record_history > 0 — the deallog-style
+    # solver history of `solver diagnostics level` >= 3 (reference:
+    # main.cxx:89-90). None otherwise (keeps lax.cond pytrees stable).
+    history: Optional[jnp.ndarray] = None
 
 
 def _dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -53,6 +58,7 @@ def cg(
     maxiter: int = 500,
     preconditioner: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
     divergence_factor: float = 32.0,
+    record_history: int = 0,
 ) -> CGResult:
     """Solve A x = b for SPD matrix-free ``operator``.
 
@@ -66,6 +72,13 @@ def cg(
     systems (e.g. the high-aspect-ratio shell Poisson operator); pass
     4.0 for a tight guard on well-conditioned systems where iterations
     past the optimum are pure waste.
+
+    ``record_history``: when > 0, record up to that many per-iteration
+    residual norms into ``CGResult.history`` (NaN-padded) — the
+    analogue of deal.II's deallog solver histories at
+    ``solver diagnostics level`` >= 3 (reference: main.cxx:89-90,
+    SolverControl log flags). The axon TPU platform has no host
+    callbacks, so histories are device arrays printed by the caller.
     """
     if x0 is None:
         x0 = jnp.zeros_like(b)
@@ -83,15 +96,17 @@ def cg(
     rz0 = _dot(r0, z0)
     rnorm0 = jnp.sqrt(_dot(r0, r0))
 
+    cap = int(record_history)
+
     def cond(state):
-        x, r, p, rz, k, rnorm, x_best, rbest = state
+        x, r, p, rz, k, rnorm, x_best, rbest, hist = state
         ok = jnp.logical_and(k < maxiter, rnorm > stop)
         # divergence guard: finite-precision CG past attainable accuracy
         # blows up by orders of magnitude; see divergence_factor above
         return jnp.logical_and(ok, rnorm < divergence_factor * rbest + stop)
 
     def body(state):
-        x, r, p, rz, k, _, x_best, rbest = state
+        x, r, p, rz, k, _, x_best, rbest, hist = state
         Ap = operator(p)
         pAp = _dot(p, Ap)
         alpha = jnp.where(pAp > 0, rz / pAp, 0.0)
@@ -105,12 +120,19 @@ def cg(
         beta = jnp.where(rz > 0, rz_new / rz, 0.0)
         p = (z + beta * p).astype(sdt)
         rnorm = jnp.sqrt(_dot(r, r))
+        if cap > 0:
+            hist = hist.at[jnp.minimum(k, cap - 1)].set(
+                rnorm.astype(jnp.float32))
         better = rnorm < rbest
         x_best = jnp.where(better, x, x_best)
         rbest = jnp.where(better, rnorm, rbest)
-        return (x, r, p, rz_new, k + 1, rnorm, x_best, rbest)
+        return (x, r, p, rz_new, k + 1, rnorm, x_best, rbest, hist)
 
-    init = (x0, r0, p0, rz0, jnp.asarray(0, jnp.int32), rnorm0, x0, rnorm0)
-    x, r, p, rz, k, rnorm, x_best, rbest = jax.lax.while_loop(cond, body, init)
+    hist0 = jnp.full((max(cap, 1),), jnp.nan, jnp.float32)
+    init = (x0, r0, p0, rz0, jnp.asarray(0, jnp.int32), rnorm0, x0,
+            rnorm0, hist0)
+    (x, r, p, rz, k, rnorm, x_best, rbest,
+     hist) = jax.lax.while_loop(cond, body, init)
     return CGResult(x=x_best, iterations=k, residual_norm=rbest,
-                    converged=rbest <= stop)
+                    converged=rbest <= stop,
+                    history=hist if cap > 0 else None)

@@ -37,8 +37,9 @@ reduction.
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 
 from dycoreplanet_tpu.solvers.cg import CGResult, _dot
@@ -52,6 +53,7 @@ def richardson_solve(
     diag: jnp.ndarray,
     iters: int = 2,
     rtol: float = 1e-8,
+    record_history: int = 0,
 ) -> CGResult:
     """``iters`` unrolled Jacobi-Richardson steps on A x = b.
 
@@ -67,12 +69,22 @@ def richardson_solve(
     rtol_eff = max(rtol, 16.0 * eps)
 
     r = b - operator(x)
-    for _ in range(iters):
+    hist = []
+    for j in range(iters):
         dx = r / diag
         x = x + dx
         r = r - operator(dx)
+        if record_history > 0:
+            hist.append(jnp.sqrt(_dot(r, r)).astype(jnp.float32))
 
     rnorm = jnp.sqrt(_dot(r, r))
     stop = rtol_eff * jnp.sqrt(_dot(b, b))
+    history = None
+    if record_history > 0:
+        pad = max(record_history - len(hist), 0)
+        history = jnp.concatenate(
+            [jnp.stack(hist)[:record_history],
+             jnp.full((pad,), jnp.nan, jnp.float32)])
     return CGResult(x=x, iterations=jnp.asarray(iters, jnp.int32),
-                    residual_norm=rnorm, converged=rnorm <= stop)
+                    residual_norm=rnorm, converged=rnorm <= stop,
+                    history=history)

@@ -43,6 +43,7 @@ def gmres(
     maxiter: int = 300,
     preconditioner: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
     flexible: bool = False,
+    record_history: int = 0,
 ) -> CGResult:
     """Solve A x = b for a general (non-SPD) matrix-free ``operator``.
 
@@ -157,18 +158,27 @@ def gmres(
     max_cycles = max(1, -(-maxiter // m))
 
     def cond(state):
-        x, rnorm, k, x_best, rbest = state
+        x, rnorm, k, x_best, rbest, hist = state
         return jnp.logical_and(k < max_cycles, rnorm > stop)
 
+    cap = int(record_history)
+
     def body(state):
-        x, rnorm, k, x_best, rbest = state
+        x, rnorm, k, x_best, rbest, hist = state
         x, rnorm = cycle(x)
+        if cap > 0:
+            # per-restart-cycle residual trail (deallog analogue,
+            # reference main.cxx:89-90)
+            hist = hist.at[jnp.minimum(k, cap - 1)].set(
+                rnorm.astype(jnp.float32))
         better = rnorm < rbest
         x_best = jnp.where(better, x, x_best)
         rbest = jnp.where(better, rnorm, rbest)
-        return (x, rnorm, k + 1, x_best, rbest)
+        return (x, rnorm, k + 1, x_best, rbest, hist)
 
-    init = (x0, rnorm0, jnp.asarray(0, jnp.int32), x0, rnorm0)
-    x, rnorm, k, x_best, rbest = jax.lax.while_loop(cond, body, init)
+    hist0 = jnp.full((max(cap, 1),), jnp.nan, jnp.float32)
+    init = (x0, rnorm0, jnp.asarray(0, jnp.int32), x0, rnorm0, hist0)
+    x, rnorm, k, x_best, rbest, hist = jax.lax.while_loop(cond, body, init)
     return CGResult(x=x_best, iterations=k * m, residual_norm=rbest,
-                    converged=rbest <= stop)
+                    converged=rbest <= stop,
+                    history=hist if cap > 0 else None)

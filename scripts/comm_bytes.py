@@ -1,5 +1,9 @@
 """Weak/strong-scaling communication accounting on the virtual CPU mesh.
 
+Measures the CANONICAL multi-device configuration
+(BoussinesqModel.prepare_sharded: shard_map fast-diag Poisson with one
+psum per solve + roll-based stencil lowering).
+
 For 1, 2, 4, 8 shards, compiles the FULL sharded 3D-shell time step and
 extracts every collective's payload bytes from the partitioned HLO
 (parallel/comm_analysis.py), for
@@ -66,7 +70,7 @@ def main():
         _, a, b = mesh_shape_for_model(n)
         shape = (per_shard[0], per_shard[1] * a, per_shard[2] * b)
         m = _model(shape)
-        s = step_comm_summary(m, n)
+        s = step_comm_summary(m, n, prepare=True)
         row = [n, f"{shape[0]}x{shape[1]}x{shape[2]}"]
         for op in COLLECTIVE_OPS:
             row.append(f"{s[op]['count']} / {s[op]['bytes']/1e6:.3f} MB")
@@ -78,7 +82,7 @@ def main():
     strong_rows = []
     for n in ns:
         m = _model(base)
-        s = step_comm_summary(m, n)
+        s = step_comm_summary(m, n, prepare=True)
         row = [n, f"{base[0]}x{base[1]}x{base[2]}"]
         for op in COLLECTIVE_OPS:
             row.append(f"{s[op]['count']} / {s[op]['bytes']/1e6:.3f} MB")

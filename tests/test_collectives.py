@@ -17,8 +17,17 @@ import numpy as np
 import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from dycoreplanet_tpu.ops import stencil as _st
 from dycoreplanet_tpu.parallel.mesh import build_mesh, shard_state, \
     state_sharding
+
+
+@pytest.fixture(autouse=True)
+def _restore_sharded_mode():
+    """prepare_sharded flips the process-wide stencil lowering; keep it
+    from leaking into other test modules."""
+    yield
+    _st.set_sharded_mode(False)
 
 
 def _compiled_step_text():
@@ -50,7 +59,8 @@ def test_collective_structure_of_sharded_step():
 
 
 def test_collective_byte_volume_bounds():
-    """Bound communication VOLUME, not just op counts (SCALING.md):
+    """Bound communication VOLUME of the canonical multi-device
+    configuration (prepare_sharded), not just op counts (SCALING.md):
     an accidental replication/gather of a full field shows up here.
 
     Weak-scaling property under test at fixed per-shard work:
@@ -67,7 +77,7 @@ def test_collective_byte_volume_bounds():
     for n, mul in ((2, (1, 1, 2)), (8, (1, 2, 4))):
         shape = tuple(s * m for s, m in zip(per_shard, mul))
         model = g._make_model("float32", shape=shape)
-        results[n] = step_comm_summary(model, n)
+        results[n] = step_comm_summary(model, n, prepare=True)
 
     field_bytes = 4 * int(np.prod(per_shard))  # one per-shard f32 field
     for n, s in results.items():
@@ -150,13 +160,14 @@ def test_prepare_sharded_step_all_to_all_volume():
     txt = step.lower(state, np.float32(0.01)).compile().as_text()
     s = collective_bytes(txt)
     field = 4 * 8 * 32 * 64  # one GLOBAL f32 field
-    # measured r3: 0.87 MB = 13 field-equivalents — every size-changing
-    # pad_axis concat along a sharded axis reshards its whole array
-    # (vs r2's 11.2 MB spectral transposes, now psum-only). Bounded
-    # here so it can only go DOWN; the roll-based stencil path is the
-    # remaining fix for the jnp pads.
-    assert s["all-to-all"]["bytes"] <= 16 * field, s
-    assert s["all-gather"]["bytes"] <= field // 4, s
+    # the roll-based stencil lowering (ops.stencil.set_sharded_mode,
+    # flipped by prepare_sharded) keeps every wall shift size-preserving
+    # so GSPMD emits edge permutes, and the Poisson is psum-only:
+    # NO all-to-all and NO all-gather remain anywhere in the step
+    # (r2: 11.2 MB of spectral transposes; r3 pre-roll: 0.87 MB of
+    # pad-concat reshuffles; now 0 — the north-star contract exactly)
+    assert s["all-to-all"]["bytes"] == 0, s
+    assert s["all-gather"]["bytes"] == 0, s
     # the Poisson psum payload is one (nr, nlat, 2, nlon/2+1) spectral
     # field = (1 + 2/nlon) cell fields; plus scalar Krylov dots
     assert s["all-reduce"]["bytes"] <= 1.25 * field, s
