@@ -24,9 +24,16 @@ through the discrete de Rham complex of ops/staggered.py:
     changes the discrete vorticity (the property the collocated
     projection path cannot provide; tests/test_mimetic_model.py).
 
-Geometries: 3D/2D cuboid and 2D annulus (the spherical shell's pole
-closure for edge quantities is future work — shell FEEC configs run the
-coupled 3x3 vorticity-velocity-pressure solve in models/boussinesq.py).
+Geometries: 3D/2D cuboid, 2D annulus and the 3D spherical shell. The
+shell's pole closure (reference shell FEEC constraints:
+boussineq_model_FEEC.tpp:372-420) reuses the half-turn antipodal ghost
+rules of the collocated path for the edge algebra (ops/staggered.py
+_gapply; ghost metrics are the mirrored |cos| values), the pole faces
+carry zero normal flux through their zero areas, and the degenerate
+zero-area polar dual loops carry zero vorticity / zero viscous weight
+(symmetric PSD is preserved). `feec formulation = staggered` therefore
+runs aqua_planet_shell_test_3d-feec.prm on this model; the coupled 3x3
+solve of models/boussinesq.py remains the `coupled` realization.
 
 Everything else (temperature solve, diagnostics, multi-step scan, CFL
 control, IO) is inherited from BoussinesqModel; temperature advection
@@ -92,6 +99,18 @@ class MimeticBoussinesqModel(BoussinesqModel):
         self._gravity_face0 = np.ascontiguousarray(
             self.g_hat_scale * g0f).astype(dtn)
 
+        # planetary vorticity on the shell's edges (physical mode):
+        # 2*Omega*sin(lat) at the r-edges (lat faces), 2*Omega*cos(lat)
+        # at the lat-edges (lat centers)
+        if geo.kind == "shell":
+            om = 2.0 * self.omega_hat
+            lat_f = np.asarray(geo.axes[1].faces, np.float64)
+            lat_c = np.asarray(geo.axes[1].centers, np.float64)
+            self._plan_vort0 = (om * np.sin(lat_f)).reshape(
+                1, -1, 1).astype(dtn)
+            self._plan_vort1 = (om * np.cos(lat_c)).reshape(
+                1, -1, 1).astype(dtn)
+
         # the staggered path added large numpy constants after the
         # parent registry scan — rebuild so they hoist consistently
         self._setup_const_registry()
@@ -117,13 +136,27 @@ class MimeticBoussinesqModel(BoussinesqModel):
                 else 2.0 * self.omega_hat
             q = zeta + jnp.asarray(f_cor, zeta.dtype)
         else:
-            # q = -zeta_cyc + 2 Omega_hat e_z  (left-handed (z,y,x)
-            # array ordering; see ops/staggered.py module docstring).
-            # Coriolis on the cuboid matches both modes of the
-            # reference (boussinesq_model.tpp:616-621).
+            # q = -zeta_cyc + 2 Omega_hat (z_hat . e_c)  (left-handed
+            # (z,y,x)/(r,lat,lon) array ordering; see ops/staggered.py
+            # module docstring). Cuboid: rotation about array axis 0,
+            # matching both reference modes (boussinesq_model.tpp:
+            # 616-621). Shell: the reference's 3D shell standard path
+            # applies NO Coriolis (the documented quirk), so
+            # coriolis_mode="reference" adds none; "physical" adds the
+            # planetary vorticity decomposed in the local frame,
+            # z_hat = sin(lat) r_hat + cos(lat) lat_hat, evaluated at
+            # the edge latitudes (validated against the collocated
+            # kernel's Coriolis acceleration in test_mimetic_model.py).
             om = 2.0 * self.omega_hat
-            q = [-zeta[0] + jnp.asarray(om, zeta[0].dtype),
-                 -zeta[1], -zeta[2]]
+            if geo.kind == "cuboid":
+                q = [-zeta[0] + jnp.asarray(om, zeta[0].dtype),
+                     -zeta[1], -zeta[2]]
+            elif self.coriolis_mode == "physical":
+                f0 = jnp.asarray(self._plan_vort0, zeta[0].dtype)
+                f1 = jnp.asarray(self._plan_vort1, zeta[1].dtype)
+                q = [-zeta[0] + f0, -zeta[1] + f1, -zeta[2]]
+            else:
+                q = [-zeta[0], -zeta[1], -zeta[2]]
         tend = sg.cross(q, U)
 
         K = sg.kinetic_energy(U)

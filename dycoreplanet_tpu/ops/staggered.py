@@ -134,7 +134,12 @@ class StaggeredMetrics:
             if d == 1:
                 return r * dxi
             lat = self._bshape(self.coords(1, stag[1], ext=(ext_axis == 1)), 1)
-            return r * np.cos(lat) * dxi
+            # |cos|: ghost positions beyond the poles (|lat| > pi/2)
+            # represent the ANTIPODAL interior cell across the pole,
+            # whose scale factor is cos of the mirrored latitude —
+            # cos(pi/2 + x) = -cos(pi/2 - x), so abs() is exactly the
+            # mirrored metric (interior values are unchanged)
+            return r * np.abs(np.cos(lat)) * dxi
         raise ValueError(kind)
 
 
@@ -149,10 +154,8 @@ class StaggeredOps:
     models/boussinesq.py)."""
 
     def __init__(self, geo: Geometry, u_specs, scalar_specs):
-        if geo.kind not in ("cuboid", "annulus"):
-            raise NotImplementedError(
-                "staggered mimetic formulation supports cuboid and "
-                "annulus geometries (shell runs the coupled FEEC solve)")
+        if geo.kind not in ("cuboid", "annulus", "shell"):
+            raise NotImplementedError(geo.kind)
         self.geo = geo
         self.dim = geo.dim
         self.u_specs = u_specs
@@ -191,14 +194,29 @@ class StaggeredOps:
             lb = m.lam(1, stag)
             self.A_edge = la * lb           # dual-loop area at nodes
             self.l_edge = np.ones_like(self.A_edge)  # out-of-plane unit
+            self.inv_A_edge = 1.0 / self.A_edge
+            self.edge_w = self.l_edge / self.A_edge
         else:
             self.A_edge = []
             self.l_edge = []
+            self.inv_A_edge = []
+            self.edge_w = []
             for c in range(3):
                 a, b = (c + 1) % 3, (c + 2) % 3
                 stag = self._edge_stag(c)
-                self.A_edge.append(m.lam(a, stag) * m.lam(b, stag))
-                self.l_edge.append(m.lam(c, stag))
+                A = m.lam(a, stag) * m.lam(b, stag)
+                L = m.lam(c, stag)
+                self.A_edge.append(A)
+                self.l_edge.append(L)
+                # pole closure: the shell's radial edges AT the pole
+                # faces have zero dual-loop area (cos(+-pi/2) = 0) —
+                # those degenerate loops carry zero vorticity and zero
+                # viscous weight (dropping nonnegative terms keeps the
+                # curl-curl form symmetric PSD; the pole faces already
+                # carry zero normal flux through their zero areas)
+                tol = 1e-12 * float(np.max(A))
+                self.inv_A_edge.append(np.where(A > tol, 1.0 / np.maximum(A, tol), 0.0))
+                self.edge_w.append(np.where(A > tol, L / np.maximum(A, tol), 0.0))
 
     # ------------------------------------------------------------------
     # layout conversion
@@ -301,8 +319,9 @@ class StaggeredOps:
         zeta_cyc = circulation / dual-loop area."""
         circ = self.circulation(U)
         if self.dim == 2:
-            return circ / jnp.asarray(self.A_edge, dtype=circ.dtype)
-        return [circ[c] / jnp.asarray(self.A_edge[c], dtype=circ[c].dtype)
+            return circ * jnp.asarray(self.inv_A_edge, dtype=circ.dtype)
+        return [circ[c] * jnp.asarray(self.inv_A_edge[c],
+                                      dtype=circ[c].dtype)
                 for c in range(3)]
 
     def cross(self, q, U: Sequence[jnp.ndarray]):
@@ -343,6 +362,22 @@ class StaggeredOps:
         return out
 
     # -------------------- symmetric viscous operator -------------------
+    def _gapply(self, rule, x):
+        """Apply the (self-adjoint) linear ghost operator of a wall rule
+        to an edge slice: ghost = G(interior_edge). ANTISYM/NEUMANN are
+        -+identity; POLE/POLE_FLIP are the (sign-flipped) half-turn
+        longitude roll — its own transpose for even nlon, so the same
+        operator serves the forward pad and the transpose foldback."""
+        if rule == BC.ANTISYM:
+            return -x
+        if rule == BC.NEUMANN:
+            return x
+        if rule in (BC.POLE, BC.POLE_FLIP):
+            half = self.geo.cell_shape[-1] // 2
+            r = jnp.roll(x, half, axis=-1)
+            return -r if rule == BC.POLE_FLIP else r
+        raise ValueError(f"unsupported wall rule for staggered ops: {rule}")
+
     def _dcf_transpose(self, x, d, spec):
         """Exact transpose of ``dcf`` (with its ghost extension) along a
         wall axis; periodic axes transpose to the wrapped backward
@@ -351,13 +386,14 @@ class StaggeredOps:
         if per:
             return x - jnp.roll(x, -1, axis=d)
         out = _sl(x, d, slice(0, -1)) - _sl(x, d, slice(1, None))
-        # ghost foldback: dcf's lo face used ghost = s_lo * interior0,
-        # hi face used ghost = s_hi * interior(n-1)
-        s_lo, s_hi = _ghost_signs(spec)
+        # ghost foldback: dcf's lo face used ghost = G_lo(interior0),
+        # hi face used ghost = G_hi(interior(n-1)); G self-adjoint
         first = tuple([slice(None)] * d + [slice(0, 1)])
         last = tuple([slice(None)] * d + [slice(-1, None)])
-        out = out.at[first].add(-s_lo * _sl(x, d, slice(0, 1)))
-        out = out.at[last].add(s_hi * _sl(x, d, slice(-1, None)))
+        out = out.at[first].add(
+            -self._gapply(spec.lo, _sl(x, d, slice(0, 1))))
+        out = out.at[last].add(
+            self._gapply(spec.hi, _sl(x, d, slice(-1, None))))
         return out
 
     def curlcurl_weighted(self, U: Sequence[jnp.ndarray]):
@@ -370,7 +406,7 @@ class StaggeredOps:
         dt = U[0].dtype
         circ = self.circulation(U)
         if self.dim == 2:
-            mu = circ * jnp.asarray(self.l_edge / self.A_edge, dtype=dt)
+            mu = circ * jnp.asarray(self.edge_w, dtype=dt)
             l1 = self.m.lam(1, self._full_stag(1), ext_axis=0)
             l0 = self.m.lam(0, self._full_stag(0), ext_axis=1)
             # circ = +dcf_0(lam1 u1) - dcf_1(lam0 u0)
@@ -380,8 +416,7 @@ class StaggeredOps:
         out = [None] * 3
         for c in range(3):
             a, b = (c + 1) % 3, (c + 2) % 3
-            mu = circ[c] * jnp.asarray(self.l_edge[c] / self.A_edge[c],
-                                       dtype=dt)
+            mu = circ[c] * jnp.asarray(self.edge_w[c], dtype=dt)
             lam_b = self.m.lam(b, self._full_stag(b), ext_axis=a)
             lam_a = self.m.lam(a, self._full_stag(a), ext_axis=b)
             tb = self._wtrans(mu, a, self.u_specs[b][a], lam_b)
@@ -398,7 +433,6 @@ class StaggeredOps:
         if per:
             base = mu - jnp.roll(mu, -1, axis=d)
             return base * _interior_lam(lam_ext, d, per, mu.dtype)
-        s_lo, s_hi = _ghost_signs(spec)
         core = _sl(mu, d, slice(0, -1)) - _sl(mu, d, slice(1, None))
         lam_core = _interior_lam(lam_ext, d, per, mu.dtype)
         out = core * lam_core
@@ -406,10 +440,15 @@ class StaggeredOps:
         lg_hi = _sl_np(lam_ext, d, slice(-1, None))
         first = tuple([slice(None)] * d + [slice(0, 1)])
         last = tuple([slice(None)] * d + [slice(-1, None)])
-        out = out.at[first].add(
-            -s_lo * jnp.asarray(lg_lo, mu.dtype) * _sl(mu, d, slice(0, 1)))
-        out = out.at[last].add(
-            s_hi * jnp.asarray(lg_hi, mu.dtype) * _sl(mu, d, slice(-1, None)))
+        # transpose of the weighted ghost contribution: the ghost-
+        # position metric is longitude-invariant, so it commutes with
+        # the (self-adjoint) ghost operator G
+        out = out.at[first].add(-self._gapply(
+            spec.lo,
+            jnp.asarray(lg_lo, mu.dtype) * _sl(mu, d, slice(0, 1))))
+        out = out.at[last].add(self._gapply(
+            spec.hi,
+            jnp.asarray(lg_hi, mu.dtype) * _sl(mu, d, slice(-1, None))))
         return out
 
     # ------------------------------------------------------------------
@@ -435,7 +474,7 @@ class StaggeredOps:
             return _sl_np(x, d, slice(0, -1))
 
         if dim == 2:
-            mw = self.l_edge / self.A_edge
+            mw = self.edge_w
             l1 = self.m.lam(1, self._full_stag(1))
             l0 = self.m.lam(0, self._full_stag(0))
             d1 = (l1 ** 2) * pair_sum_f2c(mw, 0)
@@ -444,25 +483,12 @@ class StaggeredOps:
         out = [np.zeros((1,) * dim) for _ in range(3)]
         for c in range(3):
             a, b = (c + 1) % 3, (c + 2) % 3
-            mw = self.l_edge[c] / self.A_edge[c]
+            mw = self.edge_w[c]
             lam_b = self.m.lam(b, self._full_stag(b))
             lam_a = self.m.lam(a, self._full_stag(a))
             out[b] = out[b] + (lam_b ** 2) * pair_sum_f2c(mw, a)
             out[a] = out[a] + (lam_a ** 2) * pair_sum_f2c(mw, b)
         return [to_cell(out[d], d) for d in range(3)]
-
-
-def _ghost_signs(spec: Optional[BCSpec]) -> Tuple[float, float]:
-    """Linear ghost coefficients (ghost = s * interior) of the wall
-    rules used by velocity components."""
-    def s(rule: BC) -> float:
-        if rule == BC.ANTISYM:
-            return -1.0
-        if rule == BC.NEUMANN:
-            return 1.0
-        raise ValueError(f"unsupported wall rule for staggered ops: {rule}")
-    assert spec is not None
-    return s(spec.lo), s(spec.hi)
 
 
 def _interior_lam(lam_ext: np.ndarray, d: int, periodic: bool, dtype):

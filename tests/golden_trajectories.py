@@ -39,6 +39,12 @@ CASES = {
                              over=dict(n_radial=4, n_lat=8, n_lon=16)),
     "shell_3d_feec": dict(prm="aqua_planet_shell_test_3d-feec.prm",
                           over=dict(n_radial=4, n_lat=8, n_lon=16)),
+    # the mimetic C-grid realization on the SHELL (pole closure for
+    # edge quantities; reference FEEC shell constraints tpp:372-420)
+    "shell_3d_feec_staggered": dict(
+        prm="aqua_planet_shell_test_3d-feec.prm",
+        over=dict(n_radial=4, n_lat=8, n_lon=16,
+                  feec_formulation="staggered")),
     "annulus_2d_coupled": dict(prm="aqua_planet_test_2d.prm",
                                over=dict(n_radial=8, n_lon=48,
                                          momentum_solver="coupled")),

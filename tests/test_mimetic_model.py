@@ -362,3 +362,127 @@ def test_cuboid2d_mimetic_steps():
     d = StepDiagnostics(packed, 2)
     assert d.div_norm < 1e-11
     assert np.all(np.isfinite(np.asarray(s.u)))
+
+
+# ---------------------------------------------------------------------------
+# spherical shell (the FEEC config of data/aqua_planet_shell_test_3d-feec.prm
+# with `feec formulation = staggered`; reference shell constraints:
+# boussineq_model_FEEC.tpp:372-420)
+# ---------------------------------------------------------------------------
+def _shell_model(shape=(6, 8, 16), **num):
+    from dycoreplanet_tpu.grid.factory import make_shell
+
+    p = _params(dim=3, cuboid=False, **num)
+    geo = make_shell(*shape, 1.0, 2.0)
+    return MimeticBoussinesqModel(p, geometry=geo)
+
+
+def _shell_seeded_state(m, seed=0, amp=0.05):
+    rng = np.random.default_rng(seed)
+    u = jnp.asarray(amp * rng.standard_normal((3,) + m.geo.cell_shape))
+    faces = tuple(m._apply_wall_face_values(
+        m._interp_component_to_faces(u[c], c), c) for c in range(3))
+    return m.initial_state()._replace(u=u, u_faces=faces)
+
+
+def test_shell_step_divergence_machine_zero():
+    """Exact div after projection on the shell (the H(div) property of
+    the reference's RT space, FEEC.tpp:21-30)."""
+    m = _shell_model()
+    s = _shell_seeded_state(m)
+    for _ in range(3):
+        s, packed = m._jit_step(s, 0.005, m._const_values())
+    d = StepDiagnostics(packed, 3)
+    assert d.div_norm < 1e-11, d.div_norm
+
+
+def test_shell_projection_preserves_interior_vorticity():
+    """curl(grad phi) telescopes to zero at every INTERIOR edge on the
+    shell — pole closure included (the antipodal ghost rules and the
+    mirrored |cos| ghost metrics make the loop sums cancel exactly).
+    As on the annulus, the wall rings are excluded (no-slip mirror
+    ghosts generate wall vorticity, the projection-method analogue of
+    physical wall vorticity generation); the degenerate zero-area polar
+    dual loops carry zero vorticity by definition."""
+    m = _shell_model()
+    sg = m.stag
+    geo = m.geo
+    rng = np.random.default_rng(1)
+    uf = [jnp.asarray(rng.standard_normal(geo.cell_shape)) * 0.1
+          for _ in range(3)]
+    uf = [m._apply_wall_face_values(uf[d], d) for d in range(3)]
+    phi = jnp.asarray(rng.standard_normal(geo.cell_shape))
+    corr = [m._apply_wall_face_values(
+        uf[d] - 0.1 * st.grad_left_faces(geo, phi, d, m.p_specs[d]), d)
+        for d in range(3)]
+    z0 = sg.vorticity(sg.expand(uf))
+    z1 = sg.vorticity(sg.expand(corr))
+    zmag = max(float(jnp.max(jnp.abs(z0[c]))) for c in range(3))
+    # c=0 (r-edges): all lat rows interior to the poles are exact, and
+    # the polar rows are exactly zero by the degenerate-loop closure
+    dz0 = float(jnp.max(jnp.abs((z1[0] - z0[0])[:, 1:-1])))
+    pole0 = float(jnp.max(jnp.abs(z1[0][:, (0, -1)])))
+    assert dz0 / zmag < 1e-12, (dz0, zmag)
+    assert pole0 == 0.0, pole0
+    # c=1 (lat-edges): exclude the radial wall rings (as on the
+    # annulus); c=2 (lon-edges): exclude radial wall rings AND the
+    # polar rings — the prognostic pole faces are pinned to zero (their
+    # area is zero), so the pole closure intervenes there exactly like
+    # the no-slip mirror at walls
+    dz1 = float(jnp.max(jnp.abs((z1[1] - z0[1])[1:-1])))
+    dz2 = float(jnp.max(jnp.abs((z1[2] - z0[2])[1:-1, 1:-1])))
+    assert dz1 / zmag < 1e-12, (dz1, zmag)
+    assert dz2 / zmag < 1e-12, (dz2, zmag)
+
+
+def test_shell_curlcurl_symmetric_psd():
+    """The mimetic viscous operator stays symmetric PSD with the pole
+    closure (degenerate polar loops dropped = nonnegative terms
+    removed)."""
+    m = _shell_model()
+    sg = m.stag
+    rng = np.random.default_rng(2)
+    U = sg.expand([jnp.asarray(rng.standard_normal(m.geo.cell_shape))
+                   for _ in range(3)])
+    V = sg.expand([jnp.asarray(rng.standard_normal(m.geo.cell_shape))
+                   for _ in range(3)])
+    ccU = sg.curlcurl_weighted(U)
+    ccV = sg.curlcurl_weighted(V)
+    dot = lambda a, b: sum(float(jnp.sum(x * y)) for x, y in zip(a, b))
+    sym = dot(V, ccU) - dot(U, ccV)
+    assert abs(sym) / max(abs(dot(V, ccU)), 1e-30) < 1e-12, sym
+    assert dot(U, ccU) >= 0.0
+
+
+def test_shell_advection_energy_input_small():
+    """The Sadourny cross-product tendency is exactly energy-neutral on
+    the uniform cuboid; on the curvilinear shell the double averaging
+    carries metric commutation errors, so pin that the energy input of
+    advection + Coriolis stays a small fraction of the advective energy
+    FLOW scale |u| K (first-order in the grid spacing, not O(1))."""
+    m = _shell_model(shape=(6, 16, 32))
+    sg = m.stag
+    s = _shell_seeded_state(m, seed=3, amp=0.1)
+    U = sg.expand(list(s.u_faces))
+    tend = m._face_tendency(U, s.p * 0.0, s.T * 0.0 + float(m.T_ref))
+    w = [jnp.asarray(sg.w_face[d], U[0].dtype) for d in range(3)]
+    E_in = sum(float(jnp.sum(w[d] * U[d] * tend[d])) for d in range(3))
+    K = float(jnp.sum(jnp.asarray(m.vol) * sg.kinetic_energy(U)))
+    umax = max(float(jnp.max(jnp.abs(u))) for u in U)
+    scale = umax * abs(K) + 1e-30
+    assert abs(E_in) < 0.2 * scale, (E_in, scale)
+
+
+def test_shell_full_step_smoke_and_heat():
+    """Multi-step shell run stays finite; conservative flux-form
+    temperature transport keeps total heat drift tiny (Dirichlet inner
+    wall admits physical flux, so exact conservation is not expected —
+    pin boundedness and finiteness)."""
+    m = _shell_model()
+    s = _shell_seeded_state(m, seed=4)
+    s, packed, _ = m.multi_step(s, 0.005, 6, collect_diagnostics=True)
+    rows = np.asarray(packed)
+    assert np.all(np.isfinite(rows)), rows
+    d = StepDiagnostics(rows[-1], 3)
+    assert d.div_norm < 1e-11, d.div_norm
+    assert d.max_velocity < 10.0
