@@ -148,6 +148,9 @@ class Numerics:
     # no while_loop scaffolding; tolerance semantics are unchanged
     # (exact residual check + lax.cond fallback). 0 = always CG.
     fixed_solver_iters: int = 2
+    # widen the shell IC Gaussians by this factor (1.0 = reference
+    # widths; see physics/initial_data.py and PARITY.md "Known quirks")
+    ic_width_scale: float = 1.0
     helmholtz_tol: float = 1e-8        # momentum solve rel tol (reference: tpp:1166 1e-8*rhs)
     temperature_tol: float = 1e-12     # temperature CG rel tol (reference: tpp:1431 1e-12*rhs)
     poisson_tol: float = 1e-8
@@ -285,6 +288,8 @@ class Parameters:
         d(_NUM, "temperature tol", "1e-12", "double", "Temperature CG relative tolerance.")
         d(_NUM, "poisson tol", "1e-8", "double", "Pressure Poisson relative tolerance.")
         d(_NUM, "max cg iters", "500", "integer", "CG iteration cap.")
+        d(_NUM, "ic width scale", "1.0", "double",
+          "Widen the shell IC Gaussians (1.0 = reference widths).")
         d(_NUM, "fixed solver iters", "2", "integer",
           "Jacobi-Richardson steps before the CG fallback (0 = always CG).")
         d(_NUM, "projection", "incremental", "string", "incremental|pressure-free.")
@@ -370,6 +375,7 @@ class Parameters:
             temperature_tol=prm.get_double(_NUM, "temperature tol"),
             poisson_tol=prm.get_double(_NUM, "poisson tol"),
             max_cg_iters=prm.get_integer(_NUM, "max cg iters"),
+            ic_width_scale=prm.get_double(_NUM, "ic width scale"),
             fixed_solver_iters=prm.get_integer(_NUM, "fixed solver iters"),
             projection=prm.get(_NUM, "projection"),
             momentum_solver=prm.get(_NUM, "momentum solver"),

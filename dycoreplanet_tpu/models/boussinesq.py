@@ -435,7 +435,9 @@ class BoussinesqModel:
             else:
                 r0 = float(geo.axes[0].faces[0])
                 r1 = float(geo.axes[0].faces[-1])
-                ic = TemperatureInitialValues(geo.dim, r0, r1)
+                ic = TemperatureInitialValues(
+                    geo.dim, r0, r1,
+                    width_scale=params.numerics.ic_width_scale)
             self.T_init = np.asarray(ic(centers), dtype=dt_np)
             # boundary values: IC evaluated on the inner/bottom wall surface
             if self.T_wall_axis is not None:

@@ -51,10 +51,18 @@ class TemperatureInitialValues:
     hand-computed values in tests/test_initial_data.py.
     3D: rotate=false, centers on the x/y axes unrotated."""
 
-    def __init__(self, dim: int, R0: float, R1: float):
+    def __init__(self, dim: int, R0: float, R1: float,
+                 width_scale: float = 1.0):
         self.dim = dim
         dR = R1 - R0
-        self.precision = 20.0 / (dR / 2.0)
+        # width_scale > 1 widens the bumps by that factor KEEPING THE
+        # PEAK VALUE (the normalization dilution is undone) — a
+        # DOCUMENTED deviation knob (`ic width scale`, PARITY.md): the
+        # reference's near-delta production bumps underflow to T = 0 at
+        # any test resolution (boussinesq_model_data.tpp:15-147 samples
+        # them at quadrature points just the same)
+        self.precision = 20.0 / (dR / 2.0) / float(width_scale) ** 2
+        self.amp = float(width_scale) ** dim
         c1 = jnp.zeros((dim,)).at[0].set(R0 + dR * 0.35)
         c2 = jnp.zeros((dim,)).at[1].set(R0 + dR * 0.65)
         if dim == 2:
@@ -75,9 +83,9 @@ class TemperatureInitialValues:
             self.center2 = c2
 
     def __call__(self, p: jnp.ndarray) -> jnp.ndarray:
-        return _gaussian(p, self.center1, self.precision, self.dim) + _gaussian(
-            p, self.center2, self.precision, self.dim
-        )
+        return self.amp * (
+            _gaussian(p, self.center1, self.precision, self.dim)
+            + _gaussian(p, self.center2, self.precision, self.dim))
 
 
 class TemperatureInitialValuesCuboid:

@@ -57,6 +57,14 @@ CASES = {
     # pipeline and that the dynamics stay at round-off from rest.
     "aqua_planet_production": dict(prm="aqua_planet.prm",
                                    over=dict(n_radial=8, n_lon=48)),
+    # the production constants WITH real dynamics: `ic width scale`
+    # widens the Gaussian bumps (peak-preserving; documented deviation,
+    # PARITY.md) so the IC is resolved at test resolution — this golden
+    # pins an Earth-constants trajectory where the flow actually moves
+    # (max|u| grows 0.07 -> 0.19 over the 8 steps)
+    "aqua_planet_production_dynamic": dict(
+        prm="aqua_planet.prm",
+        over=dict(n_radial=8, n_lon=48, ic_width_scale=100.0)),
 }
 
 

@@ -43,3 +43,18 @@ def test_trajectory_matches_golden(name):
             np.testing.assert_allclose(
                 np.asarray(snap[key]), w, rtol=1e-7, atol=1e-10 * scale,
                 err_msg=f"{name} step {step} snapshot {key}")
+
+
+def test_production_dynamic_golden_has_real_motion():
+    """The Earth-constants dynamic golden must show genuine flow —
+    nonzero, GROWING max|u| (VERDICT r2: a physics-free golden pins the
+    constants pipeline but cannot catch dynamics regressions)."""
+    import json
+
+    from tests.golden_trajectories import GOLDEN_PATH
+
+    with open(GOLDEN_PATH) as f:
+        rows = json.load(f)["aqua_planet_production_dynamic"]["rows"]
+    u = [r["max_velocity"] for r in rows]
+    assert u[0] > 1e-3, u
+    assert u[-1] > 1.5 * u[0], u
