@@ -123,3 +123,35 @@ def test_missing_file_writes_template(tmp_path):
     # the template itself must round-trip through the parser
     p = Parameters.from_file(str(target))
     assert p.space_dimension == 2
+
+
+REFERENCE_DATA = "/root/reference/data"
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE_DATA),
+                    reason="reference checkout not present (CI)")
+@pytest.mark.parametrize("name", [
+    "aqua_planet.prm",
+    "aqua_planet_test_2d.prm",
+    "aqua_planet_cube_test_3d.prm",
+    "aqua_planet_shell_test_3d-classic.prm",
+    "aqua_planet_shell_test_3d-feec.prm",
+])
+def test_reference_prm_files_parse_verbatim(name):
+    """The UNMODIFIED reference .prm files parse through the deal.II-
+    grammar reader with the expected dispatch flags — the bit-level
+    config-compatibility claim of PARITY.md component 18 (reference:
+    boussinesq_model_parameters.cc:52-239)."""
+    p = Parameters.from_file(os.path.join(REFERENCE_DATA, name))
+    assert p.space_dimension in (2, 3)
+    assert p.final_time > 0
+    assert p.physical_constants.R1 > p.physical_constants.R0
+    if name == "aqua_planet_test_2d.prm":
+        assert p.space_dimension == 2 and p.use_schur_complement_solver
+    if name == "aqua_planet_cube_test_3d.prm":
+        assert p.cuboid_geometry and p.use_FEEC_solver
+    if name == "aqua_planet_shell_test_3d-classic.prm":
+        assert (p.space_dimension == 3 and not p.cuboid_geometry
+                and not p.use_FEEC_solver)
+    if name == "aqua_planet_shell_test_3d-feec.prm":
+        assert p.use_FEEC_solver and not p.use_schur_complement_solver
