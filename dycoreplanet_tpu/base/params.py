@@ -151,6 +151,15 @@ class Numerics:
     # widen the shell IC Gaussians by this factor (1.0 = reference
     # widths; see physics/initial_data.py and PARITY.md "Known quirks")
     ic_width_scale: float = 1.0
+    # MXU pass mode of the fast-diagonalization Poisson transforms
+    # (TPU-only distinction): "highest" = f32-accurate bf16x6 passes;
+    # "high" = bf16x3 (measured 0.046 vs 0.100 ms at 32x128x256, solve
+    # rel err ~2e-5 — no measurable effect on the projected trajectory,
+    # see models/boussinesq.py); "high-refine" = bf16x3 + ONE
+    # exact-stencil refinement pass (rel err ~1.7e-7, but slower than
+    # "highest": 0.152 ms). "auto" = high for float32 on TPU, highest
+    # elsewhere.
+    poisson_precision: str = "auto"
     helmholtz_tol: float = 1e-8        # momentum solve rel tol (reference: tpp:1166 1e-8*rhs)
     temperature_tol: float = 1e-12     # temperature CG rel tol (reference: tpp:1431 1e-12*rhs)
     poisson_tol: float = 1e-8
@@ -171,6 +180,7 @@ class Numerics:
     _CHOICES = {
         "dtype": ("float32", "float64", "bfloat16"),
         "poisson_solver": ("auto", "fft", "cg", "mg"),
+        "poisson_precision": ("auto", "highest", "high", "high-refine"),
         "helmholtz_solver": ("auto", "direct", "cg"),
         "momentum_solver": ("auto", "projection", "coupled"),
         "buoyancy": ("perturbation", "full"),
@@ -282,6 +292,8 @@ class Parameters:
         d(_NUM, "dtype", "float32", "string", "Compute dtype.")
         d(_NUM, "use pallas", "auto", "string", "Pallas kernels: auto|true|false.")
         d(_NUM, "poisson solver", "auto", "string", "auto|fft|cg|mg.")
+        d(_NUM, "poisson precision", "auto", "string",
+          "auto|highest|high|high-refine fast-diag transform precision.")
         d(_NUM, "helmholtz solver", "auto", "string",
           "auto|direct|cg implicit momentum/temperature solves.")
         d(_NUM, "helmholtz tol", "1e-8", "double", "Momentum solve relative tolerance.")
@@ -370,6 +382,7 @@ class Parameters:
             dtype=prm.get(_NUM, "dtype"),
             use_pallas=None if use_pallas_raw == "auto" else use_pallas_raw == "true",
             poisson_solver=prm.get(_NUM, "poisson solver"),
+            poisson_precision=prm.get(_NUM, "poisson precision"),
             helmholtz_solver=prm.get(_NUM, "helmholtz solver"),
             helmholtz_tol=prm.get_double(_NUM, "helmholtz tol"),
             temperature_tol=prm.get_double(_NUM, "temperature tol"),

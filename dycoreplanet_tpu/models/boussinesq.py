@@ -218,13 +218,19 @@ class BoussinesqModel:
         # shell standard personality) — None keeps the jnp stencil path
         self._forcing_pallas = None
         self._proj_pallas = None
+        self._richardson_pallas = None
         if self.momentum_solver != "coupled":
+            from dycoreplanet_tpu.ops.pallas_richardson import make_richardson
             from dycoreplanet_tpu.ops.pallas_stencil import (
                 make_shell_forcing, make_shell_projection)
 
             self._forcing_pallas = make_shell_forcing(
                 geo, self, use_pallas=params.numerics.use_pallas)
             self._proj_pallas = make_shell_projection(
+                geo, self, use_pallas=params.numerics.use_pallas)
+            # fused implicit stage: both Richardson solves (momentum +
+            # temperature) in one pass (ops/pallas_richardson.py)
+            self._richardson_pallas = make_richardson(
                 geo, self, use_pallas=params.numerics.use_pallas)
         self._setup_const_registry()
         # trace-time escalation switch: True makes every iterative solve
@@ -275,8 +281,21 @@ class BoussinesqModel:
             self._setup_const_registry()
         if mesh is not None and pallas:
             self.enable_sharded_pallas(mesh, interpret=interpret)
+        if mesh is not None:
+            # single-device-only kernel: GSPMD cannot partition it
+            self._richardson_pallas = None
         self._reset_jit_caches()
         return self
+
+    def enable_pallas_richardson(self, *, interpret: bool = False):
+        """Force-build the fused Richardson kernel (test hook; the
+        factory gates it to TPU platforms by default)."""
+        from dycoreplanet_tpu.ops.pallas_richardson import make_richardson
+
+        self._richardson_pallas = make_richardson(
+            self.geo, self, interpret=interpret, use_pallas=True)
+        self._reset_jit_caches()
+        return self._richardson_pallas is not None
 
     def _reset_jit_caches(self):
         self._jit_step = jax.jit(self._step_consts)
@@ -308,6 +327,7 @@ class BoussinesqModel:
         self._forcing_pallas = ShardedShellForcing(
             base, mesh, interpret=interpret)
         self._proj_pallas = None
+        self._richardson_pallas = None
         self._reset_jit_caches()
         return True
 
@@ -492,9 +512,34 @@ class BoussinesqModel:
             if geo.kind == "shell":
                 kw = dict(rtol=params.numerics.poisson_tol,
                           maxiter=params.numerics.max_cg_iters)
+            # "auto" MXU precision: one-pass bf16x3 transforms on TPU
+            # f32 (0.046 vs 0.100 ms at 32x128x256), full precision
+            # elsewhere. Measured end-to-end impact of "high": the
+            # post-projection divergence diagnostic is IDENTICAL
+            # (1.15e-6, dominated by the f32 correction arithmetic, not
+            # the solver) and u drifts 3e-5 relative after 20 production
+            # steps — far inside the reference's 1e-6-reduction inner
+            # pressure solves (inverse_matrix.hpp:93-120). "high-refine"
+            # (one exact-stencil refinement pass, rel err 1.7e-7)
+            # remains available but measured SLOWER than "highest"
+            # (0.152 ms), so auto never picks it. CPU math ignores the
+            # precision enum entirely, so CPU trajectories (goldens,
+            # convergence tests) are unaffected by "auto".
+            prec = params.numerics.poisson_precision
+            if prec == "auto":
+                on_tpu = False
+                try:
+                    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+                except RuntimeError:
+                    pass
+                prec = ("high" if on_tpu and dt_np == np.float32
+                        else "highest")
             self.poisson_spectral = make_poisson_solver(
                 geo, dtype=dt_np,
-                use_pallas=params.numerics.use_pallas, **kw)
+                use_pallas=params.numerics.use_pallas,
+                precision=prec,
+                refine_op=lambda x: -st.weak_laplacian(
+                    geo, x, self.p_specs), **kw)
         elif solver_choice == "mg":
             from dycoreplanet_tpu.solvers.multigrid import PoissonMultigrid
 
@@ -734,6 +779,7 @@ class BoussinesqModel:
 
         # ---------------- explicit forcing from step n ----------------
         T_adv_fused = None
+        T_done = False
         if (self._forcing_pallas is not None
                 and self.momentum_solver != "coupled"):
             out = self._forcing_pallas(u, u_faces, T, pres, dt)
@@ -764,6 +810,29 @@ class BoussinesqModel:
             helm_iters = [outer_iters] * dim
             poisson_iters = outer_iters
             helm_rnorm = poisson_rnorm = outer_rnorm
+        elif (self._richardson_pallas is not None and not self._force_cg
+                and not self._solver_trace
+                and self.temperature_direct is None):
+            # fused implicit stage: BOTH Richardson solves (momentum
+            # Helmholtz + temperature) in one Pallas pass
+            # (ops/pallas_richardson.py); the projection and diagnostics
+            # semantics are identical to the jnp fast path below
+            rk = self._richardson_pallas
+            T_adv = (T_adv_fused if T_adv_fused is not None
+                     else self._advected_temperature(u, u_faces, T, dt_T))
+            rhs_T = vol * T_adv + dt_T * self.one_over_Pe * self.T_lap_offset
+            u_star, T_new, (rn_u, bn_u, rn_T, bn_T) = rk(rhs_u, rhs_T, T, dt)
+            eps16 = 16.0 * float(jnp.finfo(self.dtype).eps)
+            helm_ok = rn_u <= max(p.numerics.helmholtz_tol, eps16) * bn_u
+            T_ok = rn_T <= max(p.numerics.temperature_tol, eps16) * bn_T
+            (u_new, p_new, new_faces, poisson_iters, poisson_rnorm,
+             poisson_ok) = self._project_velocity(u_star, pres, dt)
+            it = jnp.asarray(rk.iters, jnp.int32)
+            helm_iters = [it] * dim
+            T_iters = it
+            helm_rnorm, T_rnorm = rn_u, rn_T
+            momentum_ok = jnp.logical_and(helm_ok, poisson_ok)
+            T_done = True  # temperature solved in the fused kernel
         else:
             (u_new, p_new, new_faces, helm_iters, poisson_iters,
              helm_rnorm, poisson_rnorm, momentum_ok) = \
@@ -772,13 +841,15 @@ class BoussinesqModel:
         # ---------------- temperature (implicit diffusion) -------------
         # advect with the OLD velocity (reference: assemble_temperature_rhs
         # runs before solve_NSE, boussinesq_model.tpp:1883-1905)
-        T_adv = (T_adv_fused if T_adv_fused is not None
-                 else self._advected_temperature(u, u_faces, T, dt_T))
-        rhs_T = vol * T_adv + dt_T * self.one_over_Pe * self.T_lap_offset
+        if not T_done:
+            T_adv = (T_adv_fused if T_adv_fused is not None
+                     else self._advected_temperature(u, u_faces, T, dt_T))
+            rhs_T = (vol * T_adv
+                     + dt_T * self.one_over_Pe * self.T_lap_offset)
 
-        kT = dt_T * self.one_over_Pe
-        T_new, T_iters, T_rnorm, T_ok = self._solve_temperature_system(
-            rhs_T, kT, T)
+            kT = dt_T * self.one_over_Pe
+            T_new, T_iters, T_rnorm, T_ok = self._solve_temperature_system(
+                rhs_T, kT, T)
 
         # ---------------- diagnostics ----------------------------------
         speed = st.cell_max_speed(geo, u_new)
@@ -924,7 +995,23 @@ class BoussinesqModel:
             helm_rnorm_out = helm_res.residual_norm
             helm_ok = helm_res.converged
 
-        # ---------------- pressure projection --------------------------
+        (u_new, p_new, new_faces, poisson_iters, poisson_rnorm,
+         poisson_ok) = self._project_velocity(u_star, pres, dt)
+        return (u_new, p_new, new_faces, helm_iters, poisson_iters,
+                helm_rnorm_out, poisson_rnorm,
+                jnp.logical_and(helm_ok, poisson_ok))
+
+    # ------------------------------------------------------------------
+    def _project_velocity(self, u_star, pres, dt):
+        """Pressure-projection stage of the incremental scheme: staggered
+        faces + compatible RHS, Poisson solve, face/cell correction.
+        Returns (u_new, p_new, new_faces, poisson_iters, poisson_rnorm,
+        poisson_ok). Shared by the jnp/CG momentum path and the fused
+        Richardson kernel path (ops/pallas_richardson.py)."""
+        geo = self.geo
+        p = self.params
+        dim = geo.dim
+        vol = self.vol
         fused = self._proj_pallas
         if fused is not None:
             uf0, uf1, uf2, rhs_raw, psums = fused.faces_div(u_star, dt)
@@ -972,9 +1059,8 @@ class BoussinesqModel:
         if p.correct_pressure_to_zero_mean:
             p_new = p_new - st.volume_mean(geo, p_new)
 
-        return (u_new, p_new, new_faces, helm_iters, poisson_iters,
-                helm_rnorm_out, poisson_rnorm,
-                jnp.logical_and(helm_ok, poisson_ok))
+        return (u_new, p_new, new_faces, poisson_iters, poisson_rnorm,
+                poisson_ok)
 
     # ------------------------------------------------------------------
     def _solve_momentum_coupled(self, rhs_u, dt):

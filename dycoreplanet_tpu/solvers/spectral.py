@@ -527,8 +527,29 @@ class ShellPoissonFastDiag:
     """
 
     def __init__(self, geo: Geometry, dtype=jnp.float32,
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None,
+                 precision: str = "highest", refine_op=None):
+        """``precision`` selects the MXU pass mode of the six dense
+        transforms (TPU-only distinction; on CPU every mode is plain
+        f32/f64 math):
+          * "highest"     — f32-accurate bf16x6 passes (exact to ~5e-7);
+          * "high"        — bf16x3 passes, ~3x faster MXU time, one-pass
+                            rel err ~4e-5;
+          * "high-refine" — one bf16x3 solve + ONE iterative-refinement
+                            pass (residual from ``refine_op``, the exact
+                            f32 stencil A = -weak_laplacian): measured
+                            rel err ~1.6e-7 at ~2/3 the HIGHEST cost —
+                            tighter than the reference's 1e-6 pressure
+                            tolerance (boussinesq_model.tpp:1248-1266).
+        ``refine_op`` (required for "high-refine"): callable x -> A x.
+        """
         assert geo.kind == "shell"
+        assert precision in ("highest", "high", "high-refine")
+        if precision == "high-refine" and refine_op is None:
+            raise ValueError("high-refine needs refine_op (the exact "
+                             "stencil A = -weak_laplacian)")
+        self.precision = precision
+        self.refine_op = refine_op
         self.geo = geo
         nr, nlat, nlon = geo.cell_shape
         self.nm = nlon // 2 + 1
@@ -568,25 +589,37 @@ class ShellPoissonFastDiag:
     def __call__(self, b: jnp.ndarray) -> jnp.ndarray:
         return self.solve(b)[0]
 
-    def solve(self, b: jnp.ndarray):
+    def _transform_solve(self, bw: jnp.ndarray, prec) -> jnp.ndarray:
         nm = self.nm
-        acc = jnp.promote_types(b.dtype, jnp.float32)
-        hi = jax.lax.Precision.HIGHEST
-        bw = b.astype(acc)
         # lon forward: (nr, nlat, 2nm) -> split re/im into axis 2
-        bh = jnp.einsum("kl,ijl->ijk", self._F, bw, precision=hi)
+        bh = jnp.einsum("kl,ijl->ijk", self._F, bw, precision=prec)
         bs = jnp.stack([bh[..., :nm], bh[..., nm:]], axis=2)  # (nr,j,2,k)
         # lat forward (per-mode batched matmul)
-        yh = jnp.einsum("kjm,ijsk->imsk", self._V, bs, precision=hi)
+        yh = jnp.einsum("kjm,ijsk->imsk", self._V, bs, precision=prec)
         # r forward, divide, r backward
-        zh = jnp.einsum("ia,imsk->amsk", self._Q, yh, precision=hi)
+        zh = jnp.einsum("ia,imsk->amsk", self._Q, yh, precision=prec)
         wh = zh * self._inv_denom
-        xh = jnp.einsum("ia,amsk->imsk", self._Q, wh, precision=hi)
+        xh = jnp.einsum("ia,amsk->imsk", self._Q, wh, precision=prec)
         # lat backward
-        xs = jnp.einsum("kjm,imsk->ijsk", self._V, xh, precision=hi)
+        xs = jnp.einsum("kjm,imsk->ijsk", self._V, xh, precision=prec)
         # lon backward (exact pseudo-inverse pair)
         xk = jnp.concatenate([xs[:, :, 0, :], xs[:, :, 1, :]], axis=2)
-        x = jnp.einsum("lk,ijk->ijl", self._G, xk, precision=hi)
+        return jnp.einsum("lk,ijk->ijl", self._G, xk, precision=prec)
+
+    def solve(self, b: jnp.ndarray):
+        acc = jnp.promote_types(b.dtype, jnp.float32)
+        bw = b.astype(acc)
+        if self.precision == "highest" or acc == jnp.float64:
+            x = self._transform_solve(bw, jax.lax.Precision.HIGHEST)
+        else:
+            hp = jax.lax.Precision.HIGH
+            x = self._transform_solve(bw, hp)
+            if self.precision == "high-refine":
+                # one Newton/refinement pass: the residual is evaluated
+                # with the EXACT f32 stencil, so the correction solve
+                # only needs to reduce an already-small error
+                r = bw - self.refine_op(x).astype(acc)
+                x = x + self._transform_solve(r, hp)
         return x.astype(b.dtype), jnp.asarray(0, jnp.int32)
 
 
@@ -635,7 +668,8 @@ def _uniform_radial(geo: Geometry) -> bool:
 
 
 def make_poisson_solver(geo: Geometry, dtype=jnp.float32,
-                        use_pallas: Optional[bool] = None, **kw):
+                        use_pallas: Optional[bool] = None,
+                        precision: str = "highest", refine_op=None, **kw):
     if geo.kind == "cuboid":
         if geo.dim == 2:
             return Cuboid2DPoissonFastDiag(geo, dtype=dtype)
@@ -643,7 +677,8 @@ def make_poisson_solver(geo: Geometry, dtype=jnp.float32,
     if geo.kind == "annulus":
         return AnnulusPoissonFastDiag(geo, dtype=dtype)
     if _uniform_radial(geo):
-        return ShellPoissonFastDiag(geo, dtype=dtype)
+        return ShellPoissonFastDiag(geo, dtype=dtype, precision=precision,
+                                    refine_op=refine_op)
     return ShellPoissonSpectral(geo, dtype=dtype, use_pallas=use_pallas, **kw)
 
 

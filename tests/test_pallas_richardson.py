@@ -1,0 +1,143 @@
+"""Equivalence of the fused Richardson Pallas kernel
+(ops/pallas_richardson.py) against the jnp fast path it replaces:
+solvers/fixed.richardson_solve over st.weak_laplacian, exactly as
+BoussinesqModel._solve_momentum_projection /_solve_temperature_system
+call them. Interpret mode (runs on CPU)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from dycoreplanet_tpu.base.params import Parameters  # noqa: E402
+from dycoreplanet_tpu.models import BoussinesqModel  # noqa: E402
+from dycoreplanet_tpu.ops import stencil as st  # noqa: E402
+from dycoreplanet_tpu.ops.pallas_richardson import (  # noqa: E402
+    HelmholtzRichardsonPallas, make_richardson)
+from dycoreplanet_tpu.solvers.fixed import richardson_solve  # noqa: E402
+
+
+def _shell_model(nr=8, nlat=16, nlon=32, iters=2):
+    p = Parameters.from_text("")
+    p.space_dimension = 3
+    p.numerics.dtype = "float32"
+    p.numerics.n_radial, p.numerics.n_lat, p.numerics.n_lon = nr, nlat, nlon
+    p.numerics.fixed_solver_iters = iters
+    return BoussinesqModel(p)
+
+
+def _rand_state(model, seed=3):
+    rng = np.random.RandomState(seed)
+    shp = model.geo.cell_shape
+    rhs_u = jnp.asarray(rng.randn(3, *shp), jnp.float32)
+    rhs_T = jnp.asarray(rng.randn(*shp), jnp.float32)
+    T0 = jnp.asarray(rng.randn(*shp), jnp.float32)
+    return rhs_u, rhs_T, T0
+
+
+def _oracle(model, rhs_u, rhs_T, T0, dt):
+    geo = model.geo
+    p = model.params
+    vol = jnp.asarray(model.vol, rhs_u.dtype)
+    coef = dt * model.one_over_Re
+    kT = (dt / p.NSE_solver_interval) * model.one_over_Pe
+
+    def helm_op(x):
+        return vol[None] * x - coef * jnp.stack([
+            st.weak_laplacian(geo, x[c], model.u_specs[c])
+            for c in range(3)])
+
+    helm_diag = vol[None] + coef * jnp.asarray(model.helm_diags,
+                                               rhs_u.dtype)
+    res_u = richardson_solve(helm_op, vol[None] * rhs_u, rhs_u,
+                             diag=helm_diag,
+                             iters=p.numerics.fixed_solver_iters,
+                             rtol=p.numerics.helmholtz_tol)
+
+    def temp_op(x):
+        return vol * x - kT * st.weak_laplacian(geo, x, model.T_specs_hom)
+
+    diag_T = vol + kT * jnp.asarray(model.T_diag, rhs_T.dtype)
+    res_T = richardson_solve(temp_op, rhs_T, T0, diag=diag_T,
+                             iters=p.numerics.fixed_solver_iters,
+                             rtol=p.numerics.temperature_tol)
+    return res_u, res_T
+
+
+@pytest.mark.parametrize("iters", [1, 2, 3])
+def test_matches_jnp_richardson(iters):
+    model = _shell_model(iters=iters)
+    kern = make_richardson(model.geo, model, interpret=True, use_pallas=True)
+    assert kern is not None and kern.iters == iters
+    rhs_u, rhs_T, T0 = _rand_state(model)
+    dt = np.float32(0.004)
+    u_star, T_new, (rn_u, bn_u, rn_T, bn_T) = kern(rhs_u, rhs_T, T0, dt)
+    res_u, res_T = _oracle(model, rhs_u, rhs_T, T0, dt)
+    np.testing.assert_allclose(np.asarray(u_star), np.asarray(res_u.x),
+                               rtol=2e-6, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(T_new), np.asarray(res_T.x),
+                               rtol=2e-6, atol=2e-6)
+    # tracked residuals: near convergence these sit at (or below, for
+    # the exactly-tracked recurrence) the f32 noise floor eps*||b||, and
+    # reassociated arithmetic shifts them by the same order — the jnp
+    # oracle's own tracked value drifts from the recomputed true
+    # residual by MORE than the kernel's. Symmetric 2x-or-noise bound.
+    for rn, oracle_rn, bn in ((rn_u, res_u.residual_norm, bn_u),
+                              (rn_T, res_T.residual_norm, bn_T)):
+        rn, oracle_rn, bn = float(rn), float(oracle_rn), float(bn)
+        noise = 3e-6 * bn
+        assert rn <= max(2.0 * oracle_rn, noise)
+        assert oracle_rn <= max(2.0 * rn, noise)
+
+
+def test_blocked_grid_matches_single_block():
+    """nr=16 with blk=8 exercises the deep radial halos across a real
+    block seam; the answer must match the jnp oracle there too."""
+    model = _shell_model(nr=16, nlat=8, nlon=16)
+    kern = make_richardson(model.geo, model, interpret=True, use_pallas=True)
+    assert kern is not None and kern.nb == 2
+    rhs_u, rhs_T, T0 = _rand_state(model, seed=11)
+    dt = np.float32(0.002)
+    u_star, T_new, _ = kern(rhs_u, rhs_T, T0, dt)
+    res_u, res_T = _oracle(model, rhs_u, rhs_T, T0, dt)
+    np.testing.assert_allclose(np.asarray(u_star), np.asarray(res_u.x),
+                               rtol=2e-6, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(T_new), np.asarray(res_T.x),
+                               rtol=2e-6, atol=2e-6)
+
+
+def test_factory_gates():
+    model = _shell_model()
+    # multi-device -> None (GSPMD cannot partition a pallas_call)
+    assert make_richardson(model.geo, model, n_devices=2,
+                           use_pallas=True) is None
+    # CG-only config -> None
+    model.params.numerics.fixed_solver_iters = 0
+    assert make_richardson(model.geo, model, interpret=True,
+                           use_pallas=True) is None
+
+
+def test_model_step_uses_kernel_and_matches():
+    """Full _step_impl with the fused Richardson kernel vs without:
+    trajectories must agree to f32 roundoff."""
+    model = _shell_model(nr=8, nlat=16, nlon=32)
+    model_k = _shell_model(nr=8, nlat=16, nlon=32)
+    model_k.enable_pallas_richardson(interpret=True)
+    assert model_k._richardson_pallas is not None
+    dt = np.float32(0.002)
+    s0 = model.initial_state()
+    rng = np.random.RandomState(5)
+    u = jnp.asarray(0.05 * rng.randn(3, *model.geo.cell_shape), jnp.float32)
+    faces = tuple(model._apply_wall_face_values(
+        model._interp_component_to_faces(u[c], c), c) for c in range(3))
+    s0 = s0._replace(u=u, u_faces=faces)
+    sa, sb = s0, s0
+    for _ in range(3):
+        sa, da = model.step(sa, dt)
+        sb, db = model_k.step(sb, dt)
+    np.testing.assert_allclose(np.asarray(sb.u), np.asarray(sa.u),
+                               rtol=5e-5, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(sb.T), np.asarray(sa.T),
+                               rtol=5e-5, atol=5e-6)
+    assert bool(da.solver_ok) == bool(db.solver_ok)

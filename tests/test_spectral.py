@@ -207,6 +207,47 @@ class TestShellPoissonFastDiag:
             + jnp.sum(x_true * vol) / jnp.sum(vol)
         assert float(jnp.max(jnp.abs(x - x_true))) < 5e-4
 
+    def test_precision_modes(self):
+        """"high" / "high-refine" MXU pass modes (params.numerics
+        `poisson precision`): on CPU the precision enum is a no-op so
+        "high" must match "highest" bitwise-closely, and "high-refine"
+        (one exact-stencil refinement pass) must land at least as close
+        to the exact solution. On TPU the same asserts bound the bf16x3
+        error (refine measured ~1.6e-7 rel; PERF.md)."""
+        import jax.numpy as jnp
+        from dycoreplanet_tpu.grid import factory
+        from dycoreplanet_tpu.ops import stencil as st
+        from dycoreplanet_tpu.ops.bc import BC, BCSpec
+        from dycoreplanet_tpu.solvers.spectral import ShellPoissonFastDiag
+
+        g = factory.make_shell(16, 32, 64, 1.0, 3.0)
+        specs = [BCSpec(BC.NEUMANN, BC.NEUMANN),
+                 BCSpec(BC.POLE, BC.POLE), None]
+        rng = np.random.RandomState(12)
+        x_true = jnp.asarray(rng.randn(16, 32, 64), dtype=jnp.float32)
+        x_true = x_true - jnp.mean(x_true)
+        b = -st.weak_laplacian(g, x_true, specs)
+        op = lambda x: -st.weak_laplacian(g, x, specs)
+        vol = jnp.asarray(np.broadcast_to(g.vol, g.cell_shape), jnp.float32)
+        vmean = lambda x: jnp.sum(x * vol) / jnp.sum(vol)
+
+        def err(precision, refine_op=None):
+            s = ShellPoissonFastDiag(g, dtype=jnp.float32,
+                                     precision=precision,
+                                     refine_op=refine_op)
+            x, _ = s.solve(b)
+            x = x - vmean(x) + vmean(x_true)
+            return float(jnp.max(jnp.abs(x - x_true)))
+
+        e_highest = err("highest")
+        e_high = err("high")
+        e_refine = err("high-refine", refine_op=op)
+        scale = float(jnp.max(jnp.abs(x_true)))
+        assert e_high < 5e-3 * scale           # one-pass bf16x3 bound
+        assert e_refine < 3.0 * e_highest + 1e-5 * scale
+        with pytest.raises(ValueError):
+            ShellPoissonFastDiag(g, precision="high-refine")
+
 
 class TestCuboidFastDiag:
     def test_exact_inverse_and_matches_direct(self):
