@@ -76,9 +76,12 @@ def _timed_chain(model, state, dt, n_steps):
 
 
 def _bench_model(model, dt, n1, n2, reps):
-    """(ms_per_step, final_state) via min-over-reps slope timing."""
+    """(ms_per_step, final_state) via min-over-reps slope timing.
+    Callers size (n1, n2) so the compute delta clears the tunnel's
+    ±ms dispatch noise (see main's per-model chain lengths)."""
     state = _seed_state(model, model.initial_state())
-    _, state = _timed_chain(model, state, dt, 5)  # warmup/compile
+    _, state = _timed_chain(model, state, dt, n1)   # warmup/compile
+    _timed_chain(model, state, dt, n2)
     t1 = t2 = float("inf")
     s2 = state
     for _ in range(reps):
@@ -88,8 +91,14 @@ def _bench_model(model, dt, n1, n2, reps):
     return (t2 - t1) / (n2 - n1), s2
 
 
-def _poisson_ms(model, state, n1=5, n2=45, reps=3):
-    """Per-solve wall time of the pressure Poisson on developed flow."""
+def _poisson_ms(model, state, n1=20, n2=180, reps=3):
+    """Per-solve wall time of the pressure Poisson on developed flow.
+
+    Binds the model's hoisted constants (same methodology as
+    scripts/probe_prod_stages.py — an unbound jit re-uploads solver
+    transform constants and distorts the slope)."""
+    import contextlib
+
     import jax
     import jax.numpy as jnp
 
@@ -98,17 +107,21 @@ def _poisson_ms(model, state, n1=5, n2=45, reps=3):
     rhs = jnp.asarray(np.float32(1.0)) * state.p  # developed-flow shape
     rhs = rhs - jnp.mean(rhs)
     eps = np.float32(1e-6)
+    cvals = model._const_values()
 
     @jax.jit
-    def chain(r, n):
-        def body(i, r):
-            phi, _ = model.poisson_spectral.solve(r)
-            return r * (1 - eps) + eps * phi
-        return jax.lax.fori_loop(0, n, body, r)
+    def chain(r, cv, n):
+        ctx = (model._bound_consts(cv) if hasattr(model, "_bound_consts")
+               else contextlib.nullcontext())
+        with ctx:
+            def body(i, r):
+                phi, _ = model.poisson_spectral.solve(r)
+                return r * (1 - eps) + eps * phi
+            return jax.lax.fori_loop(0, n, body, r)
 
     def run(n):
         t0 = time.perf_counter()
-        out = chain(rhs, n)
+        out = chain(rhs, cvals, n)
         float(jnp.sum(out))
         return time.perf_counter() - t0
 
@@ -206,11 +219,19 @@ def main() -> None:
 
     # --- BASELINE breadth: Poisson solve time + the other geometries ---
     extra = {"shell_ms_per_step": float(f"{per_step * 1e3:.4g}")}
-    pms = _poisson_ms(model, s2, *( (5, 45, 3) if on_tpu else (1, 4, 1) ))
+    pms = _poisson_ms(model, s2, *( (20, 180, 3) if on_tpu else (1, 4, 1) ))
     if pms is not None:
         extra["shell_poisson_ms"] = float(f"{pms:.4g}")
     for name, m2 in _secondary_models(on_tpu).items():
-        nn1, nn2 = (5, 45) if on_tpu else (1, 4)
+        # chain lengths sized so the n2-n1 compute delta clears the
+        # tunnel's +-ms dispatch noise (annulus steps are ~0.05 ms: a
+        # 45-step chain measured a NEGATIVE slope in round 3)
+        if not on_tpu:
+            nn1, nn2 = 1, 4
+        elif name == "annulus":
+            nn1, nn2 = 200, 1800
+        else:
+            nn1, nn2 = 10, 90
         ms, _ = _bench_model(m2, dt, nn1, nn2, reps=2 if on_tpu else 1)
         c2 = int(np.prod(m2.geo.cell_shape))
         extra[f"{name}_points_per_sec"] = float(f"{c2 / ms:.4g}")
