@@ -148,17 +148,29 @@ class Numerics:
     # no while_loop scaffolding; tolerance semantics are unchanged
     # (exact residual check + lax.cond fallback). 0 = always CG.
     fixed_solver_iters: int = 2
+    # Richardson iteration count for the MOMENTUM Helmholtz solve only
+    # (temperature keeps fixed_solver_iters). The momentum tolerance
+    # (1e-8, reference tpp:1166) sits four orders looser than
+    # temperature's 1e-12 (tpp:1431), so one fewer iteration usually
+    # suffices — measured at the 32x128x256 bench config: k=1 momentum
+    # residual 4.6e-10 vs the 1e-8 tolerance. 0 = same as
+    # fixed_solver_iters (the conservative default); the tracked-
+    # residual honesty gate escalates to full CG if the count proves
+    # insufficient. Production opt-in: `momentum fixed iters = 1`.
+    momentum_fixed_iters: int = 0
     # widen the shell IC Gaussians by this factor (1.0 = reference
     # widths; see physics/initial_data.py and PARITY.md "Known quirks")
     ic_width_scale: float = 1.0
     # MXU pass mode of the fast-diagonalization Poisson transforms
     # (TPU-only distinction): "highest" = f32-accurate bf16x6 passes;
-    # "high" = bf16x3 (measured 0.046 vs 0.100 ms at 32x128x256, solve
-    # rel err ~2e-5 — no measurable effect on the projected trajectory,
-    # see models/boussinesq.py); "high-refine" = bf16x3 + ONE
-    # exact-stencil refinement pass (rel err ~1.7e-7, but slower than
-    # "highest": 0.152 ms). "auto" = high for float32 on TPU, highest
-    # elsewhere.
+    # "high" = bf16x3 (measured at 32x128x256 f32: 0.046 vs 0.100 ms,
+    # solve rel err 2.3e-5 — the canonical figure; full table in
+    # PERF.md. No measurable effect on the projected trajectory, see
+    # models/boussinesq.py); "high-refine" = bf16x3 + ONE exact-stencil
+    # refinement pass (rel err 1.7e-7, but slower than "highest":
+    # 0.152 ms). "auto" = high for float32 on TPU when `poisson tol`
+    # >= 1e-4 (so the 2.3e-5 direct-solve error demonstrably meets the
+    # configured tolerance), highest otherwise.
     poisson_precision: str = "auto"
     helmholtz_tol: float = 1e-8        # momentum solve rel tol (reference: tpp:1166 1e-8*rhs)
     temperature_tol: float = 1e-12     # temperature CG rel tol (reference: tpp:1431 1e-12*rhs)
@@ -304,6 +316,8 @@ class Parameters:
           "Widen the shell IC Gaussians (1.0 = reference widths).")
         d(_NUM, "fixed solver iters", "2", "integer",
           "Jacobi-Richardson steps before the CG fallback (0 = always CG).")
+        d(_NUM, "momentum fixed iters", "0", "integer",
+          "Momentum-only Richardson count (0 = fixed solver iters).")
         d(_NUM, "projection", "incremental", "string", "incremental|pressure-free.")
         d(_NUM, "momentum solver", "auto", "string",
           "auto|projection|coupled (auto = coupled for FEEC, else projection).")
@@ -390,6 +404,8 @@ class Parameters:
             max_cg_iters=prm.get_integer(_NUM, "max cg iters"),
             ic_width_scale=prm.get_double(_NUM, "ic width scale"),
             fixed_solver_iters=prm.get_integer(_NUM, "fixed solver iters"),
+            momentum_fixed_iters=prm.get_integer(
+                _NUM, "momentum fixed iters"),
             projection=prm.get(_NUM, "projection"),
             momentum_solver=prm.get(_NUM, "momentum solver"),
             buoyancy=prm.get(_NUM, "buoyancy"),

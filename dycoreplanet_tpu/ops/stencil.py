@@ -27,6 +27,8 @@ Face indexing conventions:
 
 from __future__ import annotations
 
+import contextlib
+import threading
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
@@ -43,28 +45,52 @@ def _sl(f: jnp.ndarray, d: int, idx) -> jnp.ndarray:
     return f[tuple(sl)]
 
 
-# Sharded-safe mode for the wall-axis shifts (set via set_sharded_mode,
-# normally by BoussinesqModel.prepare_sharded): the roll+masked-select
+# Sharded-safe mode for the wall-axis shifts: the roll+masked-select
 # form keeps every array size-preserving, so GSPMD lowers the shifts to
 # edge-sized collective-permutes — where the concat form reshards the
 # WHOLE array with an all-to-all (measured 13 field-equivalents/step,
-# SCALING.md r3, VERDICT item 4). Single-device the concat form wins
-# (slices of one buffer fuse; rolls materialize copies — measured
-# 2x on the full shell step), so it stays the default. Both forms
-# produce identical values.
-_SHARDED_SAFE = False
+# SCALING.md r3). Single-device the concat form wins (slices of one
+# buffer fuse; rolls materialize copies — measured 2x on the full shell
+# step), so it stays the default. Both forms produce identical values.
+#
+# The mode is PER-TRACE, not process-global: a model traced for a
+# sharded mesh scopes the roll lowering to its own trace via
+# ``trace_sharded`` (BoussinesqModel._step_impl binds the model's own
+# flag), so preparing one model for sharding never slows another.
+# ``set_sharded_mode`` remains as the process-wide default for code
+# that calls the stencil ops outside any model.
+_SHARDED_SAFE = False          # process default
+_TRACE_MODE = threading.local()  # per-trace scoped override
 
 
 def set_sharded_mode(enabled: bool) -> None:
-    """Select the GSPMD-friendly (roll-based) wall-shift lowering.
-    Affects tracing only; call before jit tracing (prepare_sharded
-    resets the model's jit caches after flipping this)."""
+    """Set the process-wide DEFAULT wall-shift lowering (overridden
+    inside any ``trace_sharded`` scope). Affects tracing only."""
     global _SHARDED_SAFE
     _SHARDED_SAFE = bool(enabled)
 
 
 def sharded_mode() -> bool:
-    return _SHARDED_SAFE
+    override = getattr(_TRACE_MODE, "value", None)
+    return _SHARDED_SAFE if override is None else override
+
+
+@contextlib.contextmanager
+def trace_sharded(enabled: Optional[bool]):
+    """Scoped override of the wall-shift lowering for one jit trace.
+    ``None`` leaves the ambient mode untouched; True/False pin it for
+    the duration regardless of the process default — model tracing
+    wraps its step bodies in this so the lowering choice is a property
+    of the MODEL, not of global interpreter state (VERDICT r3 weak #5)."""
+    if enabled is None:
+        yield
+        return
+    old = getattr(_TRACE_MODE, "value", None)
+    _TRACE_MODE.value = bool(enabled)
+    try:
+        yield
+    finally:
+        _TRACE_MODE.value = old
 
 
 def _shift(f: jnp.ndarray, d: int, k: int, ghost) -> jnp.ndarray:
@@ -74,7 +100,7 @@ def _shift(f: jnp.ndarray, d: int, k: int, ghost) -> jnp.ndarray:
     n = f.shape[d]
     if ghost is None:
         return jnp.roll(f, -k, axis=d)
-    if _SHARDED_SAFE:
+    if sharded_mode():
         r = jnp.roll(f, -k, axis=d)
         idx = jax.lax.broadcasted_iota(jnp.int32, f.shape, d)
         cond = (idx >= n - k) if k > 0 else (idx < -k)

@@ -533,8 +533,10 @@ class ShellPoissonFastDiag:
         transforms (TPU-only distinction; on CPU every mode is plain
         f32/f64 math):
           * "highest"     — f32-accurate bf16x6 passes (exact to ~5e-7);
-          * "high"        — bf16x3 passes, ~3x faster MXU time, one-pass
-                            rel err ~4e-5;
+          * "high"        — bf16x3 passes, ~3x faster MXU time; solve
+                            rel err 2.3e-5 measured at 32x128x256 f32
+                            (the canonical figure — full table in
+                            PERF.md);
           * "high-refine" — one bf16x3 solve + ONE iterative-refinement
                             pass (residual from ``refine_op``, the exact
                             f32 stencil A = -weak_laplacian): measured

@@ -133,8 +133,9 @@ def main():
         rk = model._richardson_pallas
 
         def rich_fused(x):
-            u_s, T_n, _ = rk(x[0], vol * x[1], x[1], dt)
-            return (x[0] * (1 - eps) + eps * u_s, T_n)
+            u_s, T_n, prefused, _ = rk(x[0], vol * x[1], x[1], dt)
+            return (x[0] * (1 - eps) + eps * u_s + eps * prefused[3],
+                    T_n)
         stages["richardson_pallas"] = chain_timer(
             rich_fused, (u, T), 10, 90, model=model)
 

@@ -92,35 +92,28 @@ def main():
         rhs_u, T_adv = fp(s.u, s.u_faces, s.T, s.p, dt)
         return feed(s, rhs_u, T_adv)
 
-    def p2(s):  # + richardson kernel (incl. rhs_T assembly)
+    def p2(s):  # + richardson kernel (incl. rhs_T assembly + fused
+        #           projection head: faces + div + Poisson RHS)
         rhs_u, T_adv = fp(s.u, s.u_faces, s.T, s.p, dt)
         rhs_T = vol * T_adv + dt_T * model.one_over_Pe * model.T_lap_offset
-        u_star, T_new, (rn_u, bn_u, rn_T, bn_T) = rk(rhs_u, rhs_T, s.T, dt)
-        return feed(s, u_star, T_new + rn_u + rn_T)
-
-    def p3(s):  # + faces_div
-        rhs_u, T_adv = fp(s.u, s.u_faces, s.T, s.p, dt)
-        rhs_T = vol * T_adv + dt_T * model.one_over_Pe * model.T_lap_offset
-        u_star, T_new, _ = rk(rhs_u, rhs_T, s.T, dt)
-        uf0, uf1, uf2, rhs_raw, psums = pj.faces_div(u_star, dt)
-        rhs_phi = rhs_raw - jnp.sum(psums) / float(geo.n_cells)
-        return feed(s, u_star, T_new + rhs_phi)
+        u_star, T_new, pre, (rn_u, bn_u, rn_T, bn_T) = rk(
+            rhs_u, rhs_T, s.T, dt)
+        return feed(s, u_star, T_new + rn_u + rn_T + pre[3]
+                    + pre[0] + pre[1] + pre[2])
 
     def p4(s):  # + poisson
         rhs_u, T_adv = fp(s.u, s.u_faces, s.T, s.p, dt)
         rhs_T = vol * T_adv + dt_T * model.one_over_Pe * model.T_lap_offset
-        u_star, T_new, _ = rk(rhs_u, rhs_T, s.T, dt)
-        uf0, uf1, uf2, rhs_raw, psums = pj.faces_div(u_star, dt)
-        rhs_phi = rhs_raw - jnp.sum(psums) / float(geo.n_cells)
-        phi, _, _, _ = model._solve_pressure_poisson(rhs_phi)
+        u_star, T_new, pre, _ = rk(rhs_u, rhs_T, s.T, dt)
+        phi, _, _, _ = model._solve_pressure_poisson(pre[3])
         return feed(s, u_star, T_new + phi)
 
     def p5(s):  # + correction (full projection) = everything but diag
         rhs_u, T_adv = fp(s.u, s.u_faces, s.T, s.p, dt)
         rhs_T = vol * T_adv + dt_T * model.one_over_Pe * model.T_lap_offset
-        u_star, T_new, _ = rk(rhs_u, rhs_T, s.T, dt)
+        u_star, T_new, pre, _ = rk(rhs_u, rhs_T, s.T, dt)
         u_new, p_new, faces, _, _, _ = model._project_velocity(
-            u_star, s.p, dt)
+            u_star, s.p, dt, prefused=pre)
         return s._replace(u=u_new, u_faces=tuple(faces), p=p_new, T=T_new)
 
     def p6(s):  # full step (state + diagnostics pack kept live)
@@ -132,8 +125,9 @@ def main():
         return ns
 
     stages = {}
-    for name, fn in (("1 forcing", p1), ("2 +richardson", p2),
-                     ("3 +faces_div", p3), ("4 +poisson", p4),
+    for name, fn in (("1 forcing", p1),
+                     ("2 +richardson(+faces)", p2),
+                     ("4 +poisson", p4),
                      ("5 +correction(state)", p5),
                      ("6 full(+diag pack)", p6),
                      ("6b full(diag DCEd)", p6b)):

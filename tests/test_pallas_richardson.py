@@ -1,8 +1,9 @@
 """Equivalence of the fused Richardson Pallas kernel
 (ops/pallas_richardson.py) against the jnp fast path it replaces:
-solvers/fixed.richardson_solve over st.weak_laplacian, exactly as
-BoussinesqModel._solve_momentum_projection /_solve_temperature_system
-call them. Interpret mode (runs on CPU)."""
+solvers/fixed.richardson_solve over st.weak_laplacian plus the
+faces_div projection head, exactly as
+BoussinesqModel._solve_momentum_projection / _solve_temperature_system
+/ _project_velocity call them. Interpret mode (runs on CPU)."""
 
 import numpy as np
 import pytest
@@ -18,12 +19,13 @@ from dycoreplanet_tpu.ops.pallas_richardson import (  # noqa: E402
 from dycoreplanet_tpu.solvers.fixed import richardson_solve  # noqa: E402
 
 
-def _shell_model(nr=8, nlat=16, nlon=32, iters=2):
+def _shell_model(nr=8, nlat=16, nlon=32, iters=2, iters_u=0):
     p = Parameters.from_text("")
     p.space_dimension = 3
     p.numerics.dtype = "float32"
     p.numerics.n_radial, p.numerics.n_lat, p.numerics.n_lon = nr, nlat, nlon
     p.numerics.fixed_solver_iters = iters
+    p.numerics.momentum_fixed_iters = iters_u
     return BoussinesqModel(p)
 
 
@@ -37,6 +39,8 @@ def _rand_state(model, seed=3):
 
 
 def _oracle(model, rhs_u, rhs_T, T0, dt):
+    """The jnp fast path: both Richardson solves + the faces_div /
+    Poisson-RHS block of _project_velocity."""
     geo = model.geo
     p = model.params
     vol = jnp.asarray(model.vol, rhs_u.dtype)
@@ -52,7 +56,7 @@ def _oracle(model, rhs_u, rhs_T, T0, dt):
                                                rhs_u.dtype)
     res_u = richardson_solve(helm_op, vol[None] * rhs_u, rhs_u,
                              diag=helm_diag,
-                             iters=p.numerics.fixed_solver_iters,
+                             iters=model.momentum_iters,
                              rtol=p.numerics.helmholtz_tol)
 
     def temp_op(x):
@@ -62,22 +66,47 @@ def _oracle(model, rhs_u, rhs_T, T0, dt):
     res_T = richardson_solve(temp_op, rhs_T, T0, diag=diag_T,
                              iters=p.numerics.fixed_solver_iters,
                              rtol=p.numerics.temperature_tol)
-    return res_u, res_T
+    # projection head (the non-prefused block of _project_velocity)
+    uf_star = [
+        model._apply_wall_face_values(
+            model._interp_component_to_faces(res_u.x[c], c), c)
+        for c in range(3)
+    ]
+    div_star = st.divergence(geo, uf_star)
+    rhs_phi = -vol * div_star / dt
+    rhs_phi = rhs_phi - jnp.mean(rhs_phi)
+    return res_u, res_T, uf_star, rhs_phi
+
+
+def _check_all(model, kern, seed=3, dt=np.float32(0.004),
+               rtol=2e-6, atol=2e-6):
+    rhs_u, rhs_T, T0 = _rand_state(model, seed=seed)
+    u_star, T_new, pre, (rn_u, bn_u, rn_T, bn_T) = kern(
+        rhs_u, rhs_T, T0, dt)
+    res_u, res_T, uf_star, rhs_phi = _oracle(model, rhs_u, rhs_T, T0, dt)
+    np.testing.assert_allclose(np.asarray(u_star), np.asarray(res_u.x),
+                               rtol=rtol, atol=atol)
+    np.testing.assert_allclose(np.asarray(T_new), np.asarray(res_T.x),
+                               rtol=rtol, atol=atol)
+    for d in range(3):
+        np.testing.assert_allclose(np.asarray(pre[d]),
+                                   np.asarray(uf_star[d]),
+                                   rtol=rtol, atol=atol)
+    # rhs = -vol*div/dt amplifies the u* difference by vol/(h*dt); use
+    # an atol scaled to the field
+    scale = float(jnp.max(jnp.abs(rhs_phi))) + 1e-30
+    np.testing.assert_allclose(np.asarray(pre[3]), np.asarray(rhs_phi),
+                               rtol=1e-4, atol=2e-5 * scale)
+    return (rn_u, bn_u, rn_T, bn_T), (res_u, res_T)
 
 
 @pytest.mark.parametrize("iters", [1, 2, 3])
 def test_matches_jnp_richardson(iters):
     model = _shell_model(iters=iters)
     kern = make_richardson(model.geo, model, interpret=True, use_pallas=True)
-    assert kern is not None and kern.iters == iters
-    rhs_u, rhs_T, T0 = _rand_state(model)
-    dt = np.float32(0.004)
-    u_star, T_new, (rn_u, bn_u, rn_T, bn_T) = kern(rhs_u, rhs_T, T0, dt)
-    res_u, res_T = _oracle(model, rhs_u, rhs_T, T0, dt)
-    np.testing.assert_allclose(np.asarray(u_star), np.asarray(res_u.x),
-                               rtol=2e-6, atol=2e-6)
-    np.testing.assert_allclose(np.asarray(T_new), np.asarray(res_T.x),
-                               rtol=2e-6, atol=2e-6)
+    assert kern is not None
+    assert kern.iters_u == iters and kern.iters_T == iters
+    (rn_u, bn_u, rn_T, bn_T), (res_u, res_T) = _check_all(model, kern)
     # tracked residuals: near convergence these sit at (or below, for
     # the exactly-tracked recurrence) the f32 noise floor eps*||b||, and
     # reassociated arithmetic shifts them by the same order — the jnp
@@ -91,20 +120,33 @@ def test_matches_jnp_richardson(iters):
         assert oracle_rn <= max(2.0 * rn, noise)
 
 
+def test_mixed_iteration_counts():
+    """iters_u=1 / iters_T=2 — the production opt-in (momentum fixed
+    iters = 1): common iteration jointly, surplus on T alone."""
+    model = _shell_model(iters=2, iters_u=1)
+    assert model.momentum_iters == 1
+    kern = make_richardson(model.geo, model, interpret=True, use_pallas=True)
+    assert kern is not None
+    assert kern.iters_u == 1 and kern.iters_T == 2
+    _check_all(model, kern, seed=7)
+
+
+def test_mixed_iteration_counts_u_heavy():
+    """iters_u > iters_T exercises the momentum-only surplus branch."""
+    model = _shell_model(iters=1, iters_u=3)
+    kern = make_richardson(model.geo, model, interpret=True, use_pallas=True)
+    assert kern is not None
+    assert kern.iters_u == 3 and kern.iters_T == 1
+    _check_all(model, kern, seed=9)
+
+
 def test_blocked_grid_matches_single_block():
     """nr=16 with blk=8 exercises the deep radial halos across a real
     block seam; the answer must match the jnp oracle there too."""
     model = _shell_model(nr=16, nlat=8, nlon=16)
     kern = make_richardson(model.geo, model, interpret=True, use_pallas=True)
     assert kern is not None and kern.nb == 2
-    rhs_u, rhs_T, T0 = _rand_state(model, seed=11)
-    dt = np.float32(0.002)
-    u_star, T_new, _ = kern(rhs_u, rhs_T, T0, dt)
-    res_u, res_T = _oracle(model, rhs_u, rhs_T, T0, dt)
-    np.testing.assert_allclose(np.asarray(u_star), np.asarray(res_u.x),
-                               rtol=2e-6, atol=2e-6)
-    np.testing.assert_allclose(np.asarray(T_new), np.asarray(res_T.x),
-                               rtol=2e-6, atol=2e-6)
+    _check_all(model, kern, seed=11, dt=np.float32(0.002))
 
 
 def test_factory_gates():
