@@ -32,8 +32,11 @@ This kernel fuses, in ONE pass over HBM:
 
 Design (mirrors ops/pallas_stencil.py):
   * grid over RADIAL BLOCKS; lat/lon stay whole inside a block so the
-    pole closure (half-turn lon roll, tangential sign flip) and the
-    periodic lon wrap are block-local rolls;
+    periodic lon wrap is a block-local roll. The stencil is SELECT-FREE:
+    wall BCs are folded into the metric channels (zeroed wall-face
+    conductances + per-channel diagonal adjustments — exact, x2 is a
+    power-of-two scale), and the lat pole faces carry zero area natively
+    so the lat rolls need no pole closure at all;
   * k Richardson iterations need depth-(k+1) radial ghosts (each
     operator apply consumes one ghost row; the final residual needs one
     more). Ghost rows arrive as XLA-sliced halo operands
@@ -66,7 +69,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dycoreplanet_tpu.grid.geometry import Geometry
-from dycoreplanet_tpu.ops.pallas_stencil import VMEM_LIMIT_MB, supports_pallas
+from dycoreplanet_tpu.ops.pallas_stencil import supports_pallas
 
 
 class HelmholtzRichardsonPallas:
@@ -98,11 +101,27 @@ class HelmholtzRichardsonPallas:
                  helm_diags: np.ndarray, T_diag: np.ndarray,
                  iters_u: int = 2, iters_T: int = 2,
                  block_rows: Optional[int] = None,
+                 halo_mode: str = "rolls",
+                 local_shape: Optional[tuple] = None,
                  interpret: bool = False):
+        """``halo_mode``:
+          * "rolls" (single device) — lat/lon are whole; the periodic
+            lon wrap is an in-kernel roll; __call__ takes global arrays.
+          * "operands" (per shard, inside shard_map) — lat/lon ghost
+            layers of depth H arrive pre-concatenated on the inputs
+            (redundant recompute in all three axes); ``local_shape``
+            gives the shard's (nr, nlat_local, nlon_local); metrics come
+            per-shard from build_shard_metrics; use call_operands.
+        """
         assert geo.kind == "shell"
+        assert halo_mode in ("rolls", "operands")
         self.geo = geo
+        self.halo_mode = halo_mode
         nr, nlat, nlon = geo.cell_shape
-        self.shape = (nr, nlat, nlon)
+        self.shape = (nr, nlat, nlon)          # global shape
+        # center (owned) extents the kernel emits
+        self.cshape = tuple(local_shape) if local_shape else self.shape
+        assert self.cshape[0] == nr, "radial axis is never sharded"
         if block_rows is None:
             block_rows = next((b for b in (8, 16) if nr % b == 0), nr)
         assert nr % block_rows == 0
@@ -111,6 +130,7 @@ class HelmholtzRichardsonPallas:
         self.iters_u = int(iters_u)
         self.iters_T = int(iters_T)
         self.H = max(self.iters_u, self.iters_T) + 1  # ghost depth/side
+        self.GH = self.H if halo_mode == "operands" else 0
         assert self.H <= self.blk, "ghost depth must fit one block"
         self.interpret = interpret
         self.s_iRe = float(one_over_Re)
@@ -146,29 +166,93 @@ class HelmholtzRichardsonPallas:
         hd = loninv(helm_diags, "helm_diags", (3,))  # (3, nr, nlat)
         td = loninv(T_diag, "T_diag", ())            # (nr, nlat)
 
+        # the pole-free lat closure below requires exactly-zero pole
+        # face areas (true for the lat-lon shell: the +-pi/2 faces are
+        # points)
+        assert float(np.abs(area_l[:, 0]).max()) == 0.0
+        assert float(np.abs(area_l[:, -1]).max()) == 0.0
+
+        cr_lo = area_r[:nr] / dist_r[:nr]
+        cr_hi = area_r[1:] / dist_r[1:]
+        # Wall BCs as METRIC algebra instead of in-kernel selects: zero
+        # the wall-face conductances and fold the ANTISYM ghost term
+        # (c*(-v - v) = (-2c)*v — exact: x2 is a power-of-two scale)
+        # into per-channel-group diagonal adjustment channels. The lat
+        # pole faces carry ZERO area natively, so the lat rolls need no
+        # closure at all (wrapped rows multiply by 0); the radial rolls
+        # wrap finite halo rows that the zeroed conductances kill.
+        # Channel groups: u_r = ANTISYM/ANTISYM; u_lat/u_lon/T =
+        # ANTISYM lo, NEUMANN hi (NEU ghost v makes c*(v-v)=0 — the
+        # zeroed conductance alone is exact).
+        cr_lo_z = cr_lo.copy()
+        cr_lo_z[0] = 0.0
+        cr_hi_z = cr_hi.copy()
+        cr_hi_z[nr - 1] = 0.0
+        Dl_oth = np.zeros_like(cr_lo)
+        Dl_oth[0] = -2.0 * cr_lo[0]
+        Dl_ur = Dl_oth.copy()
+        Dl_ur[nr - 1] = -2.0 * cr_hi[nr - 1]
+
         chans = np.stack([
             vol,                         # 0
-            area_r[:nr] / dist_r[:nr],   # 1 cr_lo
-            area_r[1:] / dist_r[1:],     # 2 cr_hi
-            area_l[:, :nlat] / dist_l[:, :nlat],   # 3 cl_lo
-            area_l[:, 1:] / dist_l[:, 1:],         # 4 cl_hi
+            cr_lo_z,                     # 1 cr_lo (wall face zeroed)
+            cr_hi_z,                     # 2 cr_hi (wall face zeroed)
+            area_l[:, :nlat] / dist_l[:, :nlat],   # 3 cl_lo (pole row 0 = 0)
+            area_l[:, 1:] / dist_l[:, 1:],         # 4 cl_hi (pole row -1 = 0)
             area_o / dist_o,             # 5 co (periodic: same both faces)
             hd[0], hd[1], hd[2], td,     # 6..9 -weak_lap diagonals
             area_r[:nr],                 # 10 ar_lo (radial LEFT-face area)
             area_l[:, :nlat],            # 11 alat_lo (lat LEFT-face area)
             area_o,                      # 12 alon (lon face area)
+            Dl_ur,                       # 13 wall diag adj, u_r channel
+            Dl_oth,                      # 14 wall diag adj, other channels
         ])                               # (K, nr, nlat)
         self.K = chans.shape[0]
+        self._chans64 = chans            # (K, nr, nlat) float64
+        self._area_l64 = area_l          # (nr, nlat+1) face areas
         # per-block extension to (nb, K, ext, nlat): rows i*blk-H ..
-        # i*blk+blk+H, edge rows replicated past the walls (those rows
-        # are masked out in-kernel)
+        # i*blk+blk+H, edge rows replicated past the walls (inert: the
+        # zeroed wall conductances kill their contributions)
         H, blk, nb = self.H, self.blk, self.nb
-        idx = np.arange(-H, blk + H)
-        self.M = np.stack([
-            chans[:, np.clip(idx + i * blk, 0, nr - 1), :]
-            for i in range(nb)
-        ]).astype(self.dtype)            # (nb, K, ext, nlat)
+        if halo_mode == "rolls":
+            idx = np.arange(-H, blk + H)
+            self.M = np.stack([
+                chans[:, np.clip(idx + i * blk, 0, nr - 1), :]
+                for i in range(nb)
+            ]).astype(self.dtype)        # (nb, K, ext, nlat)
+        else:
+            self.M = None                # per-shard: build_shard_metrics
         self._kernel_cache = {}
+
+    # ------------------------------------------------------------------
+    def build_shard_metrics(self, n_lat_shards: int) -> np.ndarray:
+        """(A, nb, K, ext_r, ext_lat) pre-extended metric stacks, one per
+        LAT shard (lon sharding needs no metric variation — every channel
+        is lon-invariant). Lat extension clips at the poles like the
+        radial walls (beyond-pole rows are inert: zero pole-face
+        conductances), EXCEPT channel 11 (the lat face areas feeding the
+        fused divergence) which is FACE-indexed and clips at face nlat so
+        the beyond-pole flux area is exactly 0 — the operands-mode
+        equivalent of the rolls-mode zero-row concat."""
+        assert self.halo_mode == "operands"
+        nr, nlat, _ = self.shape
+        nlat_c = self.cshape[1]
+        assert nlat_c * n_lat_shards == nlat
+        H, blk, nb, GH = self.H, self.blk, self.nb, self.GH
+        ridx = np.arange(-H, blk + H)
+        out = []
+        for a in range(n_lat_shards):
+            cols = np.clip(np.arange(-GH, nlat_c + GH) + a * nlat_c,
+                           0, nlat - 1)
+            ch = self._chans64[:, :, cols].copy()   # (K, nr, ext_lat)
+            fcols = np.clip(np.arange(-GH, nlat_c + GH) + a * nlat_c,
+                            0, nlat)
+            ch[11] = self._area_l64[:, fcols]
+            out.append(np.stack([
+                ch[:, np.clip(ridx + i * blk, 0, nr - 1), :]
+                for i in range(nb)
+            ]))
+        return np.stack(out).astype(self.dtype)
 
     # ------------------------------------------------------------------
     def _deep_halos(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -198,7 +282,29 @@ class HelmholtzRichardsonPallas:
         return jnp.stack(halos)
 
     # ------------------------------------------------------------------
+    def call_operands(self, rhs_u_e, rhs_T_e, T0_e, dt, M_sh):
+        """Per-shard invocation (inside shard_map): the inputs carry
+        depth-H lat/lon ghost layers pre-concatenated; ``M_sh`` is this
+        shard's (nb, K, ext_r, ext_lat) metric slab. Returns
+        (u_star, T_new, uf0, uf1, uf2, rhs_raw, parts) on the CENTER
+        (owned) extents, ``parts`` the raw (nb, 1, 5) partial sums the
+        caller psums across the mesh."""
+        assert self.halo_mode == "operands"
+        dtype = rhs_u_e.dtype
+        st4 = jnp.concatenate([rhs_u_e, T0_e[None]], axis=0)
+        Hx = self._deep_halos(st4)
+        HbT = self._deep_halos(rhs_T_e[None])
+        dt_arr = jnp.asarray(dt, dtype).reshape(1, 1)
+        key = (dtype.name,)
+        call = self._kernel_cache.get(key)
+        if call is None:
+            call = self._build_call(jnp.dtype(dtype))
+            self._kernel_cache[key] = call
+        return call(dt_arr, rhs_u_e, rhs_T_e, T0_e, Hx, HbT, M_sh)
+
+    # ------------------------------------------------------------------
     def __call__(self, rhs_u, rhs_T, T0, dt):
+        assert self.halo_mode == "rolls"
         nr, nlat, nlon = self.shape
         dtype = rhs_u.dtype
         st4 = jnp.concatenate([rhs_u, T0[None]], axis=0)
@@ -226,13 +332,15 @@ class HelmholtzRichardsonPallas:
 
     # ------------------------------------------------------------------
     def _build_call(self, dtype):
-        nr, nlat, nlon = self.shape
+        nr, nlat, nlon = self.cshape          # CENTER (owned) extents
         blk, nb, H, K = self.blk, self.nb, self.H, self.K
+        GH = self.GH                           # lat/lon ghost depth
+        eL, eO = nlat + 2 * GH, nlon + 2 * GH  # extended lat/lon sizes
         ext = blk + 2 * H
         iters_u, iters_T = self.iters_u, self.iters_T
         k_common = min(iters_u, iters_T)
         iRe, iPe, itv = self.s_iRe, self.s_iPe, self.s_itv
-        half = nlon // 2
+        cl, cn = slice(GH, GH + nlat), slice(GH, GH + nlon)
 
         def kernel(dt_ref, ru_ref, rT_ref, T0_ref, Hx_ref, HbT_ref,
                    M_ref, u_ref, T_ref, f0_ref, f1_ref, f2_ref,
@@ -249,37 +357,24 @@ class HelmholtzRichardsonPallas:
             cidx4 = jax.lax.broadcasted_iota(jnp.int32, (4, 1, 1, 1), 0)
             coef4 = jnp.where(cidx4 < 3, coef_u, coef_T)
             inv_diag = 1.0 / (vol[None] + coef4 * Ld)
-
-            # global radial index of every extended row (valid-row masks
-            # double as the wall-BC row selectors)
-            ridx = (jax.lax.broadcasted_iota(jnp.int32, (1, ext, 1, 1), 1)
-                    + i * blk - H)
+            # per-channel wall diagonal adjustments (lon-invariant —
+            # the select runs on a laneless (4, ext, nlat, 1) array)
+            Dl4 = jnp.stack([M[13], M[14], M[14], M[14]])[:, :, :, None]
 
             def apply_A(v, c0, coef):
                 """(V - coef * weak_lap) v for channels [c0, c0+C) of
-                the [u_r, u_lat, u_lon, T] stack."""
-                C = v.shape[0]
-                cidx = (jax.lax.broadcasted_iota(jnp.int32, (C, 1, 1, 1),
-                                                 0) + c0)
-                is_tan = (cidx == 1) | (cidx == 2)
-                # radial ghosts: lo wall ANTISYM for every channel; hi
-                # wall ANTISYM for u_r (cidx 0), NEUMANN (copy) for rest
+                the [u_r, u_lat, u_lon, T] stack.
+
+                SELECT-FREE stencil: wall/pole BCs live entirely in the
+                metric channels (zeroed wall/pole conductances + the Dl
+                diagonal adjustments), so every roll's wrapped row is
+                multiplied by zero — no iota masks, no ghost fills."""
+                Dl = Dl4[c0:c0 + v.shape[0]]
                 vm = jnp.roll(v, 1, axis=1)
-                vm = jnp.where(ridx == 0, -v, vm)
                 vp = jnp.roll(v, -1, axis=1)
-                vp = jnp.where(ridx == nr - 1,
-                               jnp.where(cidx == 0, -v, v), vp)
-                lap = cr_hi * (vp - v) + cr_lo * (vm - v)
-                # latitude: aligned roll + masked pole-ghost fill
-                g_lo = jnp.where(is_tan, -1.0, 1.0) * jnp.roll(
-                    v[:, :, 0:1, :], half, axis=-1)
-                g_hi = jnp.where(is_tan, -1.0, 1.0) * jnp.roll(
-                    v[:, :, -1:, :], half, axis=-1)
-                jdx = jax.lax.broadcasted_iota(jnp.int32, v.shape, 2)
-                vm_l = jnp.where(jdx == 0, g_lo,
-                                 jnp.roll(v, 1, axis=2))
-                vp_l = jnp.where(jdx == nlat - 1, g_hi,
-                                 jnp.roll(v, -1, axis=2))
+                lap = (cr_hi * (vp - v) + cr_lo * (vm - v) + Dl * v)
+                vm_l = jnp.roll(v, 1, axis=2)
+                vp_l = jnp.roll(v, -1, axis=2)
                 lap = lap + cl_hi * (vp_l - v) + cl_lo * (vm_l - v)
                 # longitude: periodic lane rolls
                 lap = lap + co * (jnp.roll(v, -1, axis=3)
@@ -304,6 +399,8 @@ class HelmholtzRichardsonPallas:
             b = jnp.concatenate([vol[None] * x[:3], bT[None]], axis=0)
 
             r = b - apply_A4(x)
+            b = None  # ext b dies here; the ||b|| partials below read
+            # the block refs directly (less VMEM liveness)
             for _ in range(k_common):
                 dx = r * inv_diag
                 x = x + dx
@@ -321,14 +418,14 @@ class HelmholtzRichardsonPallas:
                 xu = xu + dxu
                 ru_res = ru_res - apply_A(dxu, 0, coef_u)
 
-            u_ref[:] = xu[:, H:H + blk]
-            T_ref[:] = xT[0, H:H + blk]
+            u_ref[:] = xu[:, H:H + blk, cl, cn]
+            T_ref[:] = xT[0, H:H + blk, cl, cn]
 
             # ---- fused projection head: faces + div + Poisson RHS ----
             # (exactly ShellProjectionPallas.faces_div,
             # pallas_stencil.py:842-883; xu is valid on H-iters_u >= 1
-            # ghost rows, all the face stencil needs)
-            u0w = xu[0, H - 1:H + blk + 1]         # rows block_lo-1..hi+1
+            # ghost rows/cols, all the face stencil needs)
+            u0w = xu[0, H - 1:H + blk + 1, cl, cn]  # rows blk_lo-1..hi+1
             uf0e = 0.5 * (u0w[:-1] + u0w[1:])      # faces block_lo..hi+1
             fidx = (jax.lax.broadcasted_iota(jnp.int32, (blk + 1, 1, 1), 0)
                     + i * blk)
@@ -337,64 +434,83 @@ class HelmholtzRichardsonPallas:
             uf0e = jnp.where((fidx == 0) | (fidx == nr),
                              jnp.zeros_like(uf0e), uf0e)
 
-            u1c = xu[1, H:H + blk]
-            g_lo = -jnp.roll(u1c[:, 0:1, :], half, axis=-1)  # POLE_FLIP
-            p1 = jnp.concatenate([g_lo, u1c], axis=1)
-            uf1 = 0.5 * (p1[:, :nlat, :] + p1[:, 1:nlat + 1, :])
-            uf1 = jnp.concatenate(
-                [jnp.zeros_like(uf1[:, :1, :]), uf1[:, 1:, :]], axis=1)
-
-            u2c = xu[2, H:H + blk]
-            uf2 = 0.5 * (jnp.roll(u2c, 1, axis=2) + u2c)
-
-            vol_c = vol[H:H + blk]
-            ar_e = M[10][H:H + blk + 1][:, :, None]
-            alat_lo = M[11][H:H + blk][:, :, None]
-            alon = M[12][H:H + blk][:, :, None]
+            vol_c = vol[H:H + blk, cl]
+            ar_e = M[10][H:H + blk + 1, cl][:, :, None]
             aq_r = ar_e * uf0e
-            aq_l = alat_lo * uf1
-            aq_o = alon * uf2
-            zrow = jnp.zeros_like(aq_l[:, :1, :])
-            div = (aq_r[1:] - aq_r[:-1]
-                   + jnp.concatenate([aq_l[:, 1:, :], zrow], axis=1) - aq_l
-                   + jnp.roll(aq_o, -1, axis=2) - aq_o) / vol_c
+            if GH == 0:
+                u1c = xu[1, H:H + blk]
+                # the zero-area pole face is zeroed below, so the
+                # POLE_FLIP ghost never survives — a plain roll suffices
+                uf1 = 0.5 * (jnp.roll(u1c, 1, axis=1) + u1c)
+                uf1 = jnp.concatenate(
+                    [jnp.zeros_like(uf1[:, :1, :]), uf1[:, 1:, :]],
+                    axis=1)
+                u2c = xu[2, H:H + blk]
+                uf2 = 0.5 * (jnp.roll(u2c, 1, axis=2) + u2c)
+                alat_lo = M[11][H:H + blk][:, :, None]
+                alon = M[12][H:H + blk][:, :, None]
+                aq_l = alat_lo * uf1
+                aq_o = alon * uf2
+                zrow = jnp.zeros_like(aq_l[:, :1, :])
+                d_l = (jnp.concatenate([aq_l[:, 1:, :], zrow], axis=1)
+                       - aq_l)
+                d_o = jnp.roll(aq_o, -1, axis=2) - aq_o
+            else:
+                # operands mode: neighbor values come from the ghost
+                # layers (slices, no closures); the beyond-pole flux
+                # area in channel 11 is exactly 0 (build_shard_metrics)
+                u1x = xu[1, H:H + blk, GH - 1:GH + nlat + 1, cn]
+                uf1e = 0.5 * (u1x[:, :-1] + u1x[:, 1:])  # nlat+1 faces
+                uf1 = uf1e[:, :nlat]
+                u2x = xu[2, H:H + blk, cl, GH - 1:GH + nlon + 1]
+                uf2e = 0.5 * (u2x[..., :-1] + u2x[..., 1:])
+                uf2 = uf2e[..., :nlon]
+                alat_e = M[11][H:H + blk, GH:GH + nlat + 1][:, :, None]
+                alon = M[12][H:H + blk, cl][:, :, None]
+                aq_l_e = alat_e * uf1e
+                aq_o_e = alon * uf2e
+                d_l = aq_l_e[:, 1:] - aq_l_e[:, :-1]
+                d_o = aq_o_e[..., 1:] - aq_o_e[..., :-1]
+            div = (aq_r[1:] - aq_r[:-1] + d_l + d_o) / vol_c
             rhs = -vol_c * div / dt
             f0_ref[:] = uf0e[:blk]
             f1_ref[:] = uf1
             f2_ref[:] = uf2
             rhs_ref[:] = rhs
 
-            rc_u = ru_res[:, H:H + blk]
-            rc_T = rT_res[0, H:H + blk]
-            bc = b[:, H:H + blk]
+            rc_u = ru_res[:, H:H + blk, cl, cn]
+            rc_T = rT_res[0, H:H + blk, cl, cn]
+            bc_u = vol_c[None] * ru_ref[:][:, :, cl, cn]
+            bc_T = rT_ref[:][:, cl, cn]
             p_ref[:] = jnp.stack([
-                jnp.sum(rc_u * rc_u), jnp.sum(bc[:3] * bc[:3]),
-                jnp.sum(rc_T * rc_T), jnp.sum(bc[3] * bc[3]),
+                jnp.sum(rc_u * rc_u), jnp.sum(bc_u * bc_u),
+                jnp.sum(rc_T * rc_T), jnp.sum(bc_T * bc_T),
                 jnp.sum(rhs),
             ]).reshape(1, 1, 5)
 
         bspec = lambda shape, imap: pl.BlockSpec(shape, imap,
                                                  memory_space=pltpu.VMEM)
-        fld = lambda: bspec((blk, nlat, nlon), lambda i: (i, 0, 0))
+        fin = lambda: bspec((blk, eL, eO), lambda i: (i, 0, 0))
+        fout = lambda: bspec((blk, nlat, nlon), lambda i: (i, 0, 0))
         grid_spec = pl.GridSpec(
             grid=(nb,),
             in_specs=[
                 pl.BlockSpec((1, 1), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),        # dt
-                bspec((3, blk, nlat, nlon), lambda i: (0, i, 0, 0)),
-                fld(),                                        # rhs_T
-                fld(),                                        # T0
-                bspec((1, 4, 2 * H, nlat, nlon),
+                bspec((3, blk, eL, eO), lambda i: (0, i, 0, 0)),
+                fin(),                                        # rhs_T
+                fin(),                                        # T0
+                bspec((1, 4, 2 * H, eL, eO),
                       lambda i: (i, 0, 0, 0, 0)),             # x halos
-                bspec((1, 1, 2 * H, nlat, nlon),
+                bspec((1, 1, 2 * H, eL, eO),
                       lambda i: (i, 0, 0, 0, 0)),             # bT halos
-                bspec((1, K, ext, nlat), lambda i: (i, 0, 0, 0)),
+                bspec((1, K, ext, eL), lambda i: (i, 0, 0, 0)),
             ],
             out_specs=[
                 bspec((3, blk, nlat, nlon), lambda i: (0, i, 0, 0)),
-                fld(),                                        # T_new
-                fld(), fld(), fld(),                          # faces
-                fld(),                                        # rhs_raw
+                fout(),                                       # T_new
+                fout(), fout(), fout(),                       # faces
+                fout(),                                       # rhs_raw
                 bspec((1, 1, 5), lambda i: (i, 0, 0)),
             ],
         )
@@ -409,7 +525,10 @@ class HelmholtzRichardsonPallas:
                     jax.ShapeDtypeStruct((nb, 1, 5), dtype),
                 ],
                 compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=VMEM_LIMIT_MB * 1024 * 1024),
+                    # larger working set than the forcing kernel (x/r
+                    # ext arrays + 7 outputs); v5e has 128 MB VMEM and
+                    # blk=16 measured 103 MB
+                    vmem_limit_bytes=112 * 1024 * 1024),
                 interpret=self.interpret,
             )(dt_arr, rhs_u, rhs_T, T0, Hx, HbT, M)
 

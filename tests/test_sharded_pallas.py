@@ -131,3 +131,107 @@ def test_multichip_guard():
                               n_devices=8) is None
     assert make_shell_projection(m.geo, m, use_pallas=True,
                                  n_devices=8) is None
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (2, 2)])
+def test_sharded_richardson_matches_oracle(mesh_shape):
+    """shard_map(stacked ppermute halos -> operands-mode Richardson
+    kernel -> psum) over a CPU mesh == the single-device jnp fast path
+    (solves + faces + Poisson RHS) — VERDICT r3 item 3: the fused
+    implicit stage stays active under sharding."""
+    from dycoreplanet_tpu.parallel.sharded_richardson import (
+        make_sharded_richardson)
+    from tests.test_pallas_richardson import _oracle
+
+    A, B = mesh_shape
+    devices = np.asarray(jax.devices()[:A * B]).reshape(A, B)
+    mesh = Mesh(devices, ("lat", "lon"))
+    m = _model()  # 8 x 8 x 16 shell, float64
+    rk = make_sharded_richardson(m, mesh, interpret=True)
+    assert rk is not None
+    rng = np.random.RandomState(17)
+    shp = m.geo.cell_shape
+    rhs_u = jnp.asarray(rng.randn(3, *shp))
+    rhs_T = jnp.asarray(rng.randn(*shp))
+    T0 = jnp.asarray(rng.randn(*shp))
+    dt = 0.004
+    u_star, T_new, pre, (rn_u, bn_u, rn_T, bn_T) = rk(rhs_u, rhs_T, T0, dt)
+    res_u, res_T, uf_star, rhs_phi = _oracle(m, rhs_u, rhs_T, T0, dt)
+    np.testing.assert_allclose(np.asarray(u_star), np.asarray(res_u.x),
+                               rtol=1e-11, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(T_new), np.asarray(res_T.x),
+                               rtol=1e-11, atol=1e-12)
+    for d in range(3):
+        np.testing.assert_allclose(np.asarray(pre[d]),
+                                   np.asarray(uf_star[d]),
+                                   rtol=1e-11, atol=1e-12, err_msg=f"f{d}")
+    scale = float(jnp.max(jnp.abs(rhs_phi))) + 1e-30
+    np.testing.assert_allclose(np.asarray(pre[3]), np.asarray(rhs_phi),
+                               rtol=1e-9, atol=1e-11 * scale)
+    # tracked residual equals the oracle's up to psum reassociation
+    np.testing.assert_allclose(float(rn_u), float(res_u.residual_norm),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(rn_T), float(res_T.residual_norm),
+                               rtol=1e-6)
+
+
+def test_model_full_step_prepare_sharded_all_kernels():
+    """Full prepare_sharded (sharded Poisson + sharded forcing + sharded
+    Richardson, interpret mode) == the unsharded step over 3 steps —
+    the rank-count-invariant hot path of VERDICT r3 item 3."""
+    from dycoreplanet_tpu.parallel.sharded_richardson import (
+        ShardedShellRichardson)
+
+    m_ref = _model()
+    m_sh = _model()
+    mesh = build_mesh(m_sh.geo)  # 8 devices -> lat 2 x lon 4
+    m_sh.prepare_sharded(mesh, interpret=True)
+    from dycoreplanet_tpu.parallel.sharded_pallas import ShardedShellForcing
+
+    assert isinstance(m_sh._forcing_pallas, ShardedShellForcing)
+    assert isinstance(m_sh._richardson_pallas, ShardedShellRichardson)
+
+    state = m_ref.initial_state()
+    dt = float(m_ref.params.time_step)
+    s_ref = state
+    for _ in range(3):
+        s_ref, _ = m_ref.step(s_ref, dt)
+
+    from dycoreplanet_tpu.parallel.mesh import state_sharding
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = state_sharding(m_sh.geo, mesh)
+    rep = NamedSharding(mesh, P())
+    s_sh = shard_state(state, m_sh.geo, mesh)
+    step = jax.jit(m_sh._step_impl, in_shardings=(sh, rep),
+                   out_shardings=(sh, rep))
+    for _ in range(3):
+        s_sh, packed = step(s_sh, jnp.float64(dt))
+
+    for name in ("u", "p", "T"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s_sh, name)),
+            np.asarray(getattr(s_ref, name)), rtol=1e-9, atol=1e-11,
+            err_msg=name)
+    # staggered faces stay exactly divergence-free through the fused
+    # sharded path too
+    for d in range(3):
+        np.testing.assert_allclose(
+            np.asarray(s_sh.u_faces[d]), np.asarray(s_ref.u_faces[d]),
+            rtol=1e-9, atol=1e-11, err_msg=f"faces{d}")
+
+
+def test_sharded_richardson_gates():
+    """Too-thin shards and CG-only configs fall back to the GSPMD jnp
+    path (None) instead of mis-sharding."""
+    from dycoreplanet_tpu.parallel.sharded_richardson import (
+        make_sharded_richardson)
+
+    m = _model()
+    devices = np.asarray(jax.devices()[:8]).reshape(1, 8)
+    mesh = Mesh(devices, ("lat", "lon"))  # nlon_local = 2 < H = 3
+    assert make_sharded_richardson(m, mesh, interpret=True) is None
+    mesh24 = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                  ("lat", "lon"))
+    m.params.numerics.fixed_solver_iters = 0
+    assert make_sharded_richardson(m, mesh24, interpret=True) is None
