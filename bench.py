@@ -152,6 +152,69 @@ def _poisson_ms(model, state, n1=20, n2=180, reps=3):
     return (t2 - t1) / (n2 - n1) * 1e3
 
 
+def _feec_extras(on_tpu, dt, extra):
+    """FEEC-personality performance entries (VERDICT r4 item 4): the
+    reference treats the FEEC configs as first-class run-matrix entries
+    (data/aqua_planet_shell_test_3d-feec.prm); measure both TPU
+    realizations of that personality on the shell:
+      * staggered mimetic C-grid step (models/mimetic.py) at the SAME
+        grid as the standard bench — directly comparable ms/step;
+      * the monolithic 3x3 w-u-p coupled FGMRES solve at a reduced grid
+        (it is the reference-parity path, not the throughput path),
+        with its outer iteration count."""
+    import os
+
+    import numpy as np
+
+    from dycoreplanet_tpu.base.params import Parameters
+    from dycoreplanet_tpu.models import make_model
+
+    prm = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "data", "aqua_planet_shell_test_3d-feec.prm")
+
+    def feec_params(shape, formulation):
+        p = Parameters.from_file(prm)
+        p.numerics.dtype = "float32"
+        p.numerics.feec_formulation = formulation
+        p.adapt_time_step = False
+        (p.numerics.n_radial, p.numerics.n_lat,
+         p.numerics.n_lon) = shape
+        return p
+
+    # staggered mimetic shell at the standard bench grid
+    shape = (32, 128, 256) if on_tpu else (8, 16, 32)
+    m = make_model(feec_params(shape, "staggered"))
+    nn1, nn2 = (5, 45) if on_tpu else (1, 3)
+    ms, _ = _bench_model(m, dt, nn1, nn2, reps=2 if on_tpu else 1)
+    cells = int(np.prod(m.geo.cell_shape))
+    extra["shell_feec_staggered_ms_per_step"] = float(f"{ms * 1e3:.4g}")
+    extra["shell_feec_staggered_points_per_sec"] = float(f"{cells / ms:.4g}")
+    print(f"bench: shell FEEC staggered {m.geo.cell_shape}: "
+          f"{ms * 1e3:.2f} ms/step, {cells / ms:.3e} pts/s",
+          file=sys.stderr)
+
+    # coupled 3x3 w-u-p FGMRES at a reduced reference-matrix grid
+    shape_c = (16, 32, 64) if on_tpu else (4, 8, 16)
+    mc = make_model(feec_params(shape_c, "coupled"))
+    state = _seed_state(mc, mc.initial_state())
+    state, diag = mc.step(state, dt)   # warmup/compile
+    _, diag = mc.step(state, dt)
+    outer = int(diag.poisson_iters)    # coupled path: outer iterations
+    t_best = float("inf")
+    for _ in range(3 if on_tpu else 1):
+        import time as _t
+
+        t0 = _t.perf_counter()
+        s2, _ = mc.step(state, dt)
+        float(np.asarray(s2.u[0]).sum())
+        t_best = min(t_best, _t.perf_counter() - t0)
+    extra["shell_feec_coupled_ms_per_step"] = float(f"{t_best * 1e3:.4g}")
+    extra["shell_feec_coupled_outer_iters"] = outer
+    print(f"bench: shell FEEC coupled 3x3 {mc.geo.cell_shape}: "
+          f"{t_best * 1e3:.2f} ms/step, outer iters={outer}",
+          file=sys.stderr)
+
+
 def _secondary_models(on_tpu):
     """Annulus + 3D-cuboid bench configs (BASELINE breadth)."""
     from dycoreplanet_tpu.base.params import Parameters
@@ -272,6 +335,8 @@ def main() -> None:
         extra[f"{name}_points_per_sec"] = float(f"{c2 / ms:.4g}")
         print(f"bench: {name} {m2.geo.cell_shape}: {ms * 1e3:.2f} ms/step, "
               f"{c2 / ms:.3e} pts/s", file=sys.stderr)
+
+    _feec_extras(on_tpu, dt, extra)
 
     print(
         json.dumps(
