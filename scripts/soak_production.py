@@ -1,0 +1,153 @@
+"""Production soak on TPU (VERDICT r4 item 10): the reference's
+production config (data/aqua_planet.prm — full physical constants) run
+for >= 2000 scanned steps with a mid-run checkpoint, a BITWISE-identical
+resume (BASELINE's "bitwise-stable" gate: deterministic reduction
+orders, no atomics), and the CFL / T-range trajectory recorded.
+
+Usage:
+  python scripts/soak_production.py [--steps 2000] [--chunk 100]
+                                    [--scale3d]   # 3D shell variant
+
+Prints a JSON summary line; writes the checkpoint under /tmp.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--chunk", type=int, default=100)
+    ap.add_argument("--scale3d", action="store_true",
+                    help="3D shell at the bench grid instead of the 2D "
+                         "production annulus")
+    args = ap.parse_args()
+    assert args.steps % args.chunk == 0
+    n_chunks = args.steps // args.chunk
+    mid = n_chunks // 2
+
+    import jax
+    import jax.numpy as jnp
+
+    from dycoreplanet_tpu.base.jax_setup import enable_compilation_cache
+    from dycoreplanet_tpu.base.params import Parameters
+    from dycoreplanet_tpu.io.checkpoint import (load_checkpoint,
+                                                save_checkpoint)
+    from dycoreplanet_tpu.models import make_model
+
+    enable_compilation_cache()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = Parameters.from_file(os.path.join(root, "data", "aqua_planet.prm"))
+    p.numerics.dtype = "float32"
+    # production 2D resolution: the prm's refinement-4 grid (16x192)
+    # cannot resolve the reference ICs at the production planetary radii
+    # (cell arc ~21 L_ref vs Gaussian sigma ~0.7 — T_init samples to
+    # ~1e-25); run the production-scale grid instead
+    p.numerics.n_radial, p.numerics.n_lon = 64, 2048
+    if args.scale3d:
+        p.space_dimension = 3
+        p.numerics.n_radial, p.numerics.n_lat, p.numerics.n_lon = (
+            32, 128, 256)
+        # the production 2D config uses the Schur solver; 3D production
+        # throughput uses the projection fast path + documented opt-ins
+        p.use_schur_complement_solver = False
+        p.numerics.poisson_precision = "high"
+        p.numerics.poisson_tol = 1e-4
+        p.numerics.momentum_fixed_iters = 1
+        # reference CFL-stable step for the seeded flow at this grid
+        p.time_step = 0.002
+    # widen the ICs so the double-Gaussian anomaly is resolved at the
+    # production grid (PARITY.md "Known quirks": the raw reference
+    # widths under-resolve on coarse grids; T_init max = 0.63 at this
+    # grid+scale vs 1e-25 unscaled at refinement 4)
+    p.numerics.ic_width_scale = 4.0
+    model = make_model(p)
+    # the prm's dt = 0.1 belongs to its refinement-4 grid; at the
+    # production resolution the CFL limit is tighter — run the
+    # reference's adaptive-dt formula inside the scan (tpp:1104-1125)
+    dt = np.float32(0.005 if not args.scale3d else p.time_step)
+    cells = int(np.prod(model.geo.cell_shape))
+    adaptive = not args.scale3d
+
+    state = model.initial_state()
+    ckpt_path = "/tmp/soak_ckpt.npz"
+    records = []
+    mid_state = None
+    mid_dt = None
+    t0 = time.perf_counter()
+    for c in range(n_chunks):
+        state, packed, dt = model.multi_step(
+            state, dt, args.chunk, collect_diagnostics=False,
+            adaptive=adaptive)
+        vals = np.asarray(packed[-1])
+        records.append({
+            "step": (c + 1) * args.chunk,
+            "cfl": float(vals[0]), "max_u": float(vals[1]),
+            "T_min": float(vals[2]), "T_max": float(vals[3]),
+            "div": float(vals[4]), "solver_ok": bool(vals[10] > 0.5),
+        })
+        if not np.isfinite(vals[1]):
+            print(json.dumps({"ok": False, "blew_up_at": records[-1]}))
+            return 1
+        if c + 1 == mid:
+            save_checkpoint(ckpt_path, state,
+                            metadata={"chunk": c + 1,
+                                      "dt": float(np.asarray(dt))})
+            mid_state, mid_dt = state, dt
+    elapsed = time.perf_counter() - t0
+    final_a = state
+
+    # ---- bitwise resume: reload the mid-run checkpoint (incl. the
+    # adaptive dt carried in the metadata) and re-run the second half;
+    # the same jitted scan on the same chip must reproduce the final
+    # state EXACTLY (fixed reduction orders, no atomics)
+    state_b, meta = load_checkpoint(ckpt_path)
+    dt_b = np.float32(meta["dt"])
+    assert float(np.asarray(mid_dt)) == meta["dt"], "dt not round-tripped"
+    # checkpoint round trip itself must be exact
+    for leaf_a, leaf_b in zip(jax.tree.leaves(mid_state),
+                              jax.tree.leaves(state_b)):
+        assert np.array_equal(np.asarray(leaf_a), np.asarray(leaf_b)), \
+            "checkpoint round-trip not bitwise"
+    for c in range(mid, n_chunks):
+        state_b, _, dt_b = model.multi_step(
+            state_b, dt_b, args.chunk, collect_diagnostics=False,
+            adaptive=adaptive)
+    bitwise = all(
+        np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(final_a), jax.tree.leaves(state_b)))
+
+    summary = {
+        "ok": bool(records[-1]["solver_ok"]) and bitwise,
+        "config": ("aqua_planet.prm"
+                   + (" (3D shell 32x128x256)" if args.scale3d else "")),
+        "grid": list(model.geo.cell_shape),
+        "steps": args.steps,
+        "steps_per_sec": float(f"{args.steps / elapsed:.5g}"),
+        "points_per_sec": float(f"{cells * args.steps / elapsed:.5g}"),
+        "bitwise_resume": bitwise,
+        "cfl_range": [min(r["cfl"] for r in records),
+                      max(r["cfl"] for r in records)],
+        "T_range_final": [records[-1]["T_min"], records[-1]["T_max"]],
+        "max_u_final": records[-1]["max_u"],
+        "div_final": records[-1]["div"],
+        "trajectory_every": args.chunk,
+    }
+    print(json.dumps(summary))
+    for r in records[:: max(1, len(records) // 10)]:
+        print(f"  step {r['step']:6d}: cfl={r['cfl']:.4f} "
+              f"max|u|={r['max_u']:.4f} T=[{r['T_min']:.3f},"
+              f"{r['T_max']:.3f}] div={r['div']:.2e}", file=sys.stderr)
+    return 0 if summary["ok"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

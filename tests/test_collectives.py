@@ -227,3 +227,30 @@ def test_sharded_lowering_is_per_model():
     assert lowered_text() == txt_before
     # while the prepared model itself still traces the roll lowering
     assert other._sharded_trace is True
+
+
+def test_mg_poisson_sharded_collectives():
+    """The MG-CG pressure path (`poisson solver = mg`) sharded: the
+    V-cycle's smoother halos and inter-level transfers lower to
+    nearest-neighbor permutes — all-to-all == 0 and all-gather == 0
+    like the spectral default (SCALING.md round-4 crossover table)."""
+    import __graft_entry__ as g
+    from dycoreplanet_tpu.models import BoussinesqModel
+    from dycoreplanet_tpu.parallel.comm_analysis import collective_bytes
+
+    base = g._make_model("float32", shape=(8, 32, 64))
+    base.params.numerics.poisson_solver = "mg"
+    model = BoussinesqModel(base.params)
+    assert model.poisson_precond is not None
+    mesh = build_mesh(model.geo, jax.devices()[:8])
+    model.prepare_sharded(mesh, pallas=False)
+    state = shard_state(model.initial_state(), model.geo, mesh)
+    sh = state_sharding(model.geo, mesh)
+    rep = NamedSharding(mesh, P())
+    step = jax.jit(model._step_impl,
+                   in_shardings=(sh, rep), out_shardings=(sh, rep))
+    txt = step.lower(state, np.float32(0.01)).compile().as_text()
+    s = collective_bytes(txt)
+    assert s["all-to-all"]["bytes"] == 0, s
+    assert s["all-gather"]["bytes"] == 0, s
+    assert s["collective-permute"]["count"] > 0, s
