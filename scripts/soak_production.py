@@ -66,16 +66,21 @@ def main():
         p.time_step = 0.002
     # widen the ICs so the double-Gaussian anomaly is resolved at the
     # production grid (PARITY.md "Known quirks": the raw reference
-    # widths under-resolve on coarse grids; T_init max = 0.63 at this
-    # grid+scale vs 1e-25 unscaled at refinement 4)
-    p.numerics.ic_width_scale = 4.0
+    # widths under-resolve on coarse grids; 2D: T_init max = 0.63 at
+    # scale 4 vs 1e-25 unscaled; 3D shell at planetary radii needs a
+    # larger scale — 0.40 at 32: the lat cell arc is ~16 L_ref there)
+    p.numerics.ic_width_scale = 32.0 if args.scale3d else 4.0
     model = make_model(p)
     # the prm's dt = 0.1 belongs to its refinement-4 grid; at the
-    # production resolution the CFL limit is tighter — run the
-    # reference's adaptive-dt formula inside the scan (tpp:1104-1125)
-    dt = np.float32(0.005 if not args.scale3d else p.time_step)
+    # production resolution the CFL limit is tighter. The buoyancy
+    # spin-up keeps accelerating the flow (measured cfl 0.2 -> 1.0
+    # over the first 500 steps), so: fixed small dt for the first
+    # chunk (quiescent start would make the CFL-adaptive formula
+    # divide by ~0), then the reference's adaptive-dt formula inside
+    # the scan (recompute_time_step, tpp:1104-1125)
+    dt = np.float32(0.002)
     cells = int(np.prod(model.geo.cell_shape))
-    adaptive = not args.scale3d
+    use_adaptive = True
 
     state = model.initial_state()
     ckpt_path = "/tmp/soak_ckpt.npz"
@@ -84,12 +89,14 @@ def main():
     mid_dt = None
     t0 = time.perf_counter()
     for c in range(n_chunks):
+        adaptive = use_adaptive and c > 0
         state, packed, dt = model.multi_step(
             state, dt, args.chunk, collect_diagnostics=False,
             adaptive=adaptive)
         vals = np.asarray(packed[-1])
         records.append({
             "step": (c + 1) * args.chunk,
+            "dt": float(np.asarray(dt)),
             "cfl": float(vals[0]), "max_u": float(vals[1]),
             "T_min": float(vals[2]), "T_max": float(vals[3]),
             "div": float(vals[4]), "solver_ok": bool(vals[10] > 0.5),
@@ -120,7 +127,7 @@ def main():
     for c in range(mid, n_chunks):
         state_b, _, dt_b = model.multi_step(
             state_b, dt_b, args.chunk, collect_diagnostics=False,
-            adaptive=adaptive)
+            adaptive=use_adaptive and c > 0)
     bitwise = all(
         np.array_equal(np.asarray(a), np.asarray(b))
         for a, b in zip(jax.tree.leaves(final_a), jax.tree.leaves(state_b)))
@@ -138,6 +145,7 @@ def main():
                       max(r["cfl"] for r in records)],
         "T_range_final": [records[-1]["T_min"], records[-1]["T_max"]],
         "max_u_final": records[-1]["max_u"],
+        "dt_final": records[-1]["dt"],
         "div_final": records[-1]["div"],
         "trajectory_every": args.chunk,
     }
