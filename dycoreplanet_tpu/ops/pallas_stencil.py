@@ -133,7 +133,12 @@ class ShellForcingPallas:
         self.shape = (nr, nlat, nlon)
         if block_rows is None:
             # Mosaic block constraint: the metric stack's second-to-last
-            # block dim (blk) must be a multiple of 8 or the full extent
+            # block dim (blk) must be a multiple of 8 or the full extent.
+            # blk=8 stays the default: blk=16 measured FASTER standalone
+            # (0.175 vs 0.211 ms at 32x128x256 muscl) but 15% SLOWER
+            # inside the scanned full step (0.643 vs 0.545 end-to-end,
+            # r4 A/B) — its 113.8 MB scoped-VMEM footprint starves the
+            # scheduler once the step's other buffers are live.
             block_rows = next((b for b in (8, 16) if nr % b == 0), nr)
         assert nr % block_rows == 0
         self.blk = block_rows
