@@ -155,3 +155,51 @@ def test_reference_prm_files_parse_verbatim(name):
                 and not p.use_FEEC_solver)
     if name == "aqua_planet_shell_test_3d-feec.prm":
         assert p.use_FEEC_solver and not p.use_schur_complement_solver
+
+
+def test_momentum_fixed_iters_knob():
+    """`momentum fixed iters` (r4): 0 defaults to `fixed solver iters`;
+    a nonzero value drives the momentum Richardson count only."""
+    from dycoreplanet_tpu.base.params import Parameters
+    from dycoreplanet_tpu.models import BoussinesqModel
+
+    p = Parameters.from_text("""
+subsection Numerics
+  set fixed solver iters = 3
+  set momentum fixed iters = 1
+end
+subsection Boussinesq Model
+  set space dimension = 3
+end
+""")
+    p.numerics.n_radial, p.numerics.n_lat, p.numerics.n_lon = 4, 8, 16
+    m = BoussinesqModel(p)
+    assert p.numerics.fixed_solver_iters == 3
+    assert p.numerics.momentum_fixed_iters == 1
+    assert m.momentum_iters == 1
+    p2 = Parameters.from_text("")
+    p2.space_dimension = 3
+    p2.numerics.n_radial, p2.numerics.n_lat, p2.numerics.n_lon = 4, 8, 16
+    m2 = BoussinesqModel(p2)
+    assert m2.momentum_iters == p2.numerics.fixed_solver_iters
+
+
+def test_bench_robust_slope():
+    """bench._robust_slope: min-of-rounds slope, consistency-loop exit,
+    and immunity to a transiently inflated short-chain timing (the
+    round-3 artifact failure mode)."""
+    import bench
+
+    per_step, overhead = 0.5e-3, 2e-3
+    calls = {"n": 0}
+
+    def run(n):
+        calls["n"] += 1
+        # first round contended: +50% on everything
+        scale = 1.5 if calls["n"] <= 2 else 1.0
+        return scale * (overhead + per_step * n)
+
+    got = bench._robust_slope(run, 20, 120, reps=1, max_rounds=4)
+    assert abs(got - per_step) / per_step < 1e-9
+    # the consistency loop stops once two best slopes agree
+    assert calls["n"] <= 8
