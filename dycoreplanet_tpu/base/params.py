@@ -158,6 +158,18 @@ class Numerics:
     # residual honesty gate escalates to full CG if the count proves
     # insufficient. Production opt-in: `momentum fixed iters = 1`.
     momentum_fixed_iters: int = 0
+    # Check the exactly tracked Richardson residuals every N steps
+    # (1 = every step, the reference's per-solve semantics,
+    # tpp:1203-1232 — the default). N > 1 is a measured-performance
+    # opt-in for the fused Pallas implicit stage: the in-between steps
+    # run a residual-free kernel variant (the last update of each
+    # system skips its r-update and the radial ghost depth drops by
+    # one — ~45% fewer stencil applies), report residual = -1
+    # ("unchecked") in the step diagnostics, and the honesty gate /
+    # CG escalation fires from the checked steps. The ITERATION COUNTS
+    # and the iterates themselves are identical either way (to f32 reassociation)
+    # (pinned in tests/test_pallas_richardson.py).
+    residual_check_interval: int = 1
     # widen the shell IC Gaussians by this factor (1.0 = reference
     # widths; see physics/initial_data.py and PARITY.md "Known quirks")
     ic_width_scale: float = 1.0
@@ -318,6 +330,10 @@ class Parameters:
           "Jacobi-Richardson steps before the CG fallback (0 = always CG).")
         d(_NUM, "momentum fixed iters", "0", "integer",
           "Momentum-only Richardson count (0 = fixed solver iters).")
+        d(_NUM, "residual check interval", "1", "integer",
+          "Check tracked Richardson residuals every N steps (1 = "
+          "every step; N>1 runs a residual-free fused kernel between "
+          "checks, iterates identical).")
         d(_NUM, "projection", "incremental", "string", "incremental|pressure-free.")
         d(_NUM, "momentum solver", "auto", "string",
           "auto|projection|coupled (auto = coupled for FEEC, else projection).")
@@ -406,6 +422,8 @@ class Parameters:
             fixed_solver_iters=prm.get_integer(_NUM, "fixed solver iters"),
             momentum_fixed_iters=prm.get_integer(
                 _NUM, "momentum fixed iters"),
+            residual_check_interval=prm.get_integer(
+                _NUM, "residual check interval"),
             projection=prm.get(_NUM, "projection"),
             momentum_solver=prm.get(_NUM, "momentum solver"),
             buoyancy=prm.get(_NUM, "buoyancy"),

@@ -224,6 +224,7 @@ class BoussinesqModel:
         self._forcing_pallas = None
         self._proj_pallas = None
         self._richardson_pallas = None
+        self._richardson_fast = None
         if self.momentum_solver != "coupled":
             from dycoreplanet_tpu.ops.pallas_richardson import make_richardson
             from dycoreplanet_tpu.ops.pallas_stencil import (
@@ -237,6 +238,14 @@ class BoussinesqModel:
             # temperature) in one pass (ops/pallas_richardson.py)
             self._richardson_pallas = make_richardson(
                 geo, self, use_pallas=params.numerics.use_pallas)
+            # residual-free variant for the steps BETWEEN honesty
+            # checks (`residual check interval` > 1): same iterates
+            # bitwise, ~45% fewer stencil applies
+            if (self._richardson_pallas is not None
+                    and params.numerics.residual_check_interval > 1):
+                self._richardson_fast = make_richardson(
+                    geo, self, use_pallas=params.numerics.use_pallas,
+                    track_residual=False)
         self._setup_const_registry()
         # trace-time escalation switch: True makes every iterative solve
         # take the full CG path regardless of fixed_solver_iters (the
@@ -310,9 +319,11 @@ class BoussinesqModel:
 
             self._richardson_pallas = make_sharded_richardson(
                 self, mesh, interpret=interpret)
+            self._richardson_fast = None  # interval mode: single-device
         elif mesh is not None:
             # pure-GSPMD configuration: no pallas kernels anywhere
             self._richardson_pallas = None
+            self._richardson_fast = None
         self._reset_jit_caches()
         import logging
 
@@ -351,6 +362,12 @@ class BoussinesqModel:
 
         self._richardson_pallas = make_richardson(
             self.geo, self, interpret=interpret, use_pallas=True)
+        self._richardson_fast = None
+        if (self._richardson_pallas is not None
+                and self.params.numerics.residual_check_interval > 1):
+            self._richardson_fast = make_richardson(
+                self.geo, self, interpret=interpret, use_pallas=True,
+                track_residual=False)
         self._reset_jit_caches()
         return self._richardson_pallas is not None
 
@@ -898,11 +915,38 @@ class BoussinesqModel:
             T_adv = (T_adv_fused if T_adv_fused is not None
                      else self._advected_temperature(u, u_faces, T, dt_T))
             rhs_T = vol * T_adv + dt_T * self.one_over_Pe * self.T_lap_offset
-            u_star, T_new, prefused, (rn_u, bn_u, rn_T, bn_T) = \
-                rk(rhs_u, rhs_T, T, dt)
+            if self._richardson_fast is not None:
+                # `residual check interval` = M > 1: the exactly
+                # tracked residuals (and their honesty gate) run every
+                # M-th step; in between, a residual-free kernel variant
+                # produces BITWISE-identical iterates at ~45% fewer
+                # stencil applies and reports residual = -1
+                # ("unchecked" sentinel) in the diagnostics
+                M_chk = p.numerics.residual_check_interval
+
+                def _flat(rkk, *args):
+                    us, Tn, pre, norms = rkk(*args)
+                    return (us, Tn) + tuple(pre) + tuple(norms)
+
+                outs = jax.lax.cond(
+                    state.step_number % M_chk == 0,
+                    lambda a: _flat(rk, *a),
+                    lambda a: _flat(self._richardson_fast, *a),
+                    (rhs_u, rhs_T, T, dt))
+                u_star, T_new = outs[0], outs[1]
+                prefused = outs[2:6]
+                rn_u, bn_u, rn_T, bn_T = outs[6:10]
+            else:
+                u_star, T_new, prefused, (rn_u, bn_u, rn_T, bn_T) = \
+                    rk(rhs_u, rhs_T, T, dt)
             eps16 = 16.0 * float(jnp.finfo(self.dtype).eps)
-            helm_ok = rn_u <= max(p.numerics.helmholtz_tol, eps16) * bn_u
-            T_ok = rn_T <= max(p.numerics.temperature_tol, eps16) * bn_T
+            # rn < 0 = "not checked this step" (interval mode sentinel)
+            helm_ok = jnp.logical_or(
+                rn_u < 0,
+                rn_u <= max(p.numerics.helmholtz_tol, eps16) * bn_u)
+            T_ok = jnp.logical_or(
+                rn_T < 0,
+                rn_T <= max(p.numerics.temperature_tol, eps16) * bn_T)
             (u_new, p_new, new_faces, poisson_iters, poisson_rnorm,
              poisson_ok) = self._project_velocity(u_star, pres, dt,
                                                   prefused=prefused)

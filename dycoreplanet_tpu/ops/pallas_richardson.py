@@ -103,6 +103,7 @@ class HelmholtzRichardsonPallas:
                  block_rows: Optional[int] = None,
                  halo_mode: str = "rolls",
                  local_shape: Optional[tuple] = None,
+                 track_residual: bool = True,
                  interpret: bool = False):
         """``halo_mode``:
           * "rolls" (single device) — lat/lon are whole; the periodic
@@ -129,7 +130,16 @@ class HelmholtzRichardsonPallas:
         self.nb = nr // block_rows
         self.iters_u = int(iters_u)
         self.iters_T = int(iters_T)
-        self.H = max(self.iters_u, self.iters_T) + 1  # ghost depth/side
+        self.track_residual = bool(track_residual)
+        # ghost depth per side: each operator apply consumes one ghost
+        # row. With residual tracking every system pays iters+1 applies;
+        # without it the last update of each system skips its r-update
+        # (the iterate itself only needs iters applies), but the fused
+        # faces head still reads u* on one ghost row -> iters_u + 1.
+        if self.track_residual:
+            self.H = max(self.iters_u, self.iters_T) + 1
+        else:
+            self.H = max(self.iters_u + 1, self.iters_T)
         self.GH = self.H if halo_mode == "operands" else 0
         assert self.H <= self.blk, "ghost depth must fit one block"
         self.interpret = interpret
@@ -319,9 +329,13 @@ class HelmholtzRichardsonPallas:
         (u_star, T_new, uf0, uf1, uf2, rhs_raw, parts) = call(
             dt_arr, rhs_u, rhs_T, T0, Hx, HbT, jnp.asarray(self.M, dtype))
         sums = jnp.sum(parts, axis=(0, 1))         # (5,)
-        rnorm_u = jnp.sqrt(sums[0])
+        if self.track_residual:
+            rnorm_u = jnp.sqrt(sums[0])
+            rnorm_T = jnp.sqrt(sums[2])
+        else:  # sentinel: residual not checked on this call
+            rnorm_u = jnp.asarray(-1.0, dtype)
+            rnorm_T = jnp.asarray(-1.0, dtype)
         bnorm_u = jnp.sqrt(sums[1])
-        rnorm_T = jnp.sqrt(sums[2])
         bnorm_T = jnp.sqrt(sums[3])
         # compatibility: subtract the float drift of sum(rhs) (the
         # all-ones nullspace of the weak Laplacian; the caller's jnp
@@ -401,22 +415,39 @@ class HelmholtzRichardsonPallas:
             r = b - apply_A4(x)
             b = None  # ext b dies here; the ||b|| partials below read
             # the block refs directly (less VMEM liveness)
-            for _ in range(k_common):
+            # A system needs its r updated after iteration j only while
+            # more of ITS iterations remain — or when the exactly
+            # tracked final residual is requested (track_residual).
+            track = self.track_residual
+            for j in range(k_common):
                 dx = r * inv_diag
                 x = x + dx
-                r = r - apply_A4(dx)
+                need_u = track or (iters_u > j + 1)
+                need_T = track or (iters_T > j + 1)
+                if need_u and need_T:
+                    r = r - apply_A4(dx)
+                elif need_T:
+                    r = jnp.concatenate(
+                        [r[:3], r[3:] - apply_A(dx[3:], 3, coef_T)],
+                        axis=0)
+                elif need_u:
+                    r = jnp.concatenate(
+                        [r[:3] - apply_A(dx[:3], 0, coef_u), r[3:]],
+                        axis=0)
             # surplus iterations on the lagging system only (1 channel
             # of 4 for temperature — 1/4 the apply cost)
             xu, xT = x[:3], x[3:]
             ru_res, rT_res = r[:3], r[3:]
-            for _ in range(iters_T - k_common):
+            for j in range(k_common, iters_T):
                 dxT = rT_res * inv_diag[3:]
                 xT = xT + dxT
-                rT_res = rT_res - apply_A(dxT, 3, coef_T)
-            for _ in range(iters_u - k_common):
+                if track or (iters_T > j + 1):
+                    rT_res = rT_res - apply_A(dxT, 3, coef_T)
+            for j in range(k_common, iters_u):
                 dxu = ru_res * inv_diag[:3]
                 xu = xu + dxu
-                ru_res = ru_res - apply_A(dxu, 0, coef_u)
+                if track or (iters_u > j + 1):
+                    ru_res = ru_res - apply_A(dxu, 0, coef_u)
 
             u_ref[:] = xu[:, H:H + blk, cl, cn]
             T_ref[:] = xT[0, H:H + blk, cl, cn]
@@ -478,13 +509,17 @@ class HelmholtzRichardsonPallas:
             f2_ref[:] = uf2
             rhs_ref[:] = rhs
 
-            rc_u = ru_res[:, H:H + blk, cl, cn]
-            rc_T = rT_res[0, H:H + blk, cl, cn]
             bc_u = vol_c[None] * ru_ref[:][:, :, cl, cn]
             bc_T = rT_ref[:][:, cl, cn]
+            if self.track_residual:
+                rc_u = ru_res[:, H:H + blk, cl, cn]
+                rc_T = rT_res[0, H:H + blk, cl, cn]
+                s_ru, s_rT = jnp.sum(rc_u * rc_u), jnp.sum(rc_T * rc_T)
+            else:  # residuals not computed this call (interval mode)
+                s_ru = s_rT = jnp.zeros((), dtype)
             p_ref[:] = jnp.stack([
-                jnp.sum(rc_u * rc_u), jnp.sum(bc_u * bc_u),
-                jnp.sum(rc_T * rc_T), jnp.sum(bc_T * bc_T),
+                s_ru, jnp.sum(bc_u * bc_u),
+                s_rT, jnp.sum(bc_T * bc_T),
                 jnp.sum(rhs),
             ]).reshape(1, 1, 5)
 
@@ -537,7 +572,8 @@ class HelmholtzRichardsonPallas:
 
 def make_richardson(geo: Geometry, model, *, interpret: bool = False,
                     use_pallas: Optional[bool] = None,
-                    n_devices: Optional[int] = None):
+                    n_devices: Optional[int] = None,
+                    track_residual: bool = True):
     """Factory gating the fused Richardson kernel; None -> jnp path.
 
     Engages only where it exactly reproduces the model's fast path:
@@ -569,7 +605,7 @@ def make_richardson(geo: Geometry, model, *, interpret: bool = False,
     blk = next((b for b in (8, 16) if nr % b == 0), nr)
     iters_T = p.numerics.fixed_solver_iters
     iters_u = model.momentum_iters
-    if max(iters_u, iters_T) + 1 > blk:
+    if max(iters_u + 1, iters_T + int(track_residual)) > blk:
         return None  # ghost depth must fit within one radial block
     return HelmholtzRichardsonPallas(
         geo, dtype=model.dtype,
@@ -579,5 +615,6 @@ def make_richardson(geo: Geometry, model, *, interpret: bool = False,
         helm_diags=np.asarray(model.helm_diags),
         T_diag=np.asarray(model.T_diag),
         iters_u=iters_u, iters_T=iters_T,
+        track_residual=track_residual,
         interpret=interpret,
     )

@@ -183,3 +183,66 @@ def test_model_step_uses_kernel_and_matches():
     np.testing.assert_allclose(np.asarray(sb.T), np.asarray(sa.T),
                                rtol=5e-5, atol=5e-6)
     assert bool(da.solver_ok) == bool(db.solver_ok)
+
+
+def test_residual_free_variant_bitwise_identical():
+    """track_residual=False (the `residual check interval` fast
+    variant): iterates, faces, and Poisson RHS equal the tracking
+    kernel's (same math; only the residual applies are skipped and the
+    ghost depth drops by one); norms return the -1 sentinel."""
+    model = _shell_model(iters=2, iters_u=1)
+    k_trk = make_richardson(model.geo, model, interpret=True,
+                            use_pallas=True)
+    k_fst = make_richardson(model.geo, model, interpret=True,
+                            use_pallas=True, track_residual=False)
+    assert k_fst.H == k_trk.H - 1
+    rhs_u, rhs_T, T0 = _rand_state(model)
+    dt = np.float32(0.004)
+    a = k_trk(rhs_u, rhs_T, T0, dt)
+    b = k_fst(rhs_u, rhs_T, T0, dt)
+    # identical math; XLA may fuse/reassociate differently for the two
+    # ghost shapes, so pin at f32-reassociation tightness
+    for x, y in zip((a[0], a[1]) + tuple(a[2]), (b[0], b[1]) + tuple(b[2])):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-6)
+    rn_u, bn_u, rn_T, bn_T = b[3]
+    assert float(rn_u) == -1.0 and float(rn_T) == -1.0  # sentinel
+    assert float(bn_u) == float(a[3][1]) and float(bn_T) == float(a[3][3])
+
+
+def test_residual_check_interval_step_semantics():
+    """`residual check interval = 4`: trajectory bitwise equal to
+    interval=1 to f32 reassociation; residual diagnostics carry the real tracked value on
+    check steps and the -1 sentinel (with solver_ok=True) in between."""
+    m1 = _shell_model(iters=2, iters_u=1)
+    m4 = _shell_model(iters=2, iters_u=1)
+    m4.params.numerics.residual_check_interval = 4
+    m1.enable_pallas_richardson(interpret=True)
+    m4.enable_pallas_richardson(interpret=True)
+    assert m1._richardson_fast is None
+    assert m4._richardson_fast is not None
+    dt = np.float32(0.002)
+    s0 = m1.initial_state()
+    rng = np.random.RandomState(5)
+    u = jnp.asarray(0.05 * rng.randn(3, *m1.geo.cell_shape), jnp.float32)
+    faces = tuple(m1._apply_wall_face_values(
+        m1._interp_component_to_faces(u[c], c), c) for c in range(3))
+    s0 = s0._replace(u=u, u_faces=faces)
+    sa, sb = s0, s0
+    for i in range(5):
+        sa, da = m1.step(sa, dt)
+        sb, db = m4.step(sb, dt)
+        np.testing.assert_allclose(np.asarray(sb.u), np.asarray(sa.u),
+                                   rtol=5e-5, atol=5e-6)
+        np.testing.assert_allclose(np.asarray(sb.T), np.asarray(sa.T),
+                                   rtol=5e-5, atol=5e-6)
+        assert bool(db.solver_ok)
+        if i % 4 == 0:  # step_number 0, 4: checked
+            assert float(db.helmholtz_residual) >= 0.0
+            assert float(db.temperature_residual) >= 0.0
+            np.testing.assert_allclose(
+                float(db.helmholtz_residual),
+                float(da.helmholtz_residual), rtol=1e-2)
+        else:           # in between: the "unchecked" sentinel
+            assert float(db.helmholtz_residual) == -1.0
+            assert float(db.temperature_residual) == -1.0
