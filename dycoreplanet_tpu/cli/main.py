@@ -234,10 +234,18 @@ def _run(params, args) -> int:
               f"poisson={int(diag.poisson_iters)} temperature={int(diag.temperature_iters)}")
         if params.solver_diagnostics_print_level >= 2:
             # inner-solver residual histories analogue (reference:
-            # deallog depth from 'solver diagnostics level', main.cxx:89-90)
-            print(f"   Solver residuals: helmholtz={diag.helmholtz_residual:.3e} "
-                  f"poisson={diag.poisson_residual:.3e} "
-                  f"temperature={diag.temperature_residual:.3e}")
+            # deallog depth from 'solver diagnostics level', main.cxx:89-90).
+            # Negative residual = the "unchecked" sentinel (residual
+            # check interval mode / spectral direct solve) — print it
+            # as such, not as a nonsensical real residual (ADVICE r4).
+            def _res(v):
+                v = float(v)
+                return "unchecked" if v < 0 else f"{v:.3e}"
+
+            print(f"   Solver residuals: "
+                  f"helmholtz={_res(diag.helmholtz_residual)} "
+                  f"poisson={_res(diag.poisson_residual)} "
+                  f"temperature={_res(diag.temperature_residual)}")
         print(f"   Post-projection max |div u|: {float(diag.div_norm):.3g}")
 
         time_index += dt / params.NSE_solver_interval

@@ -319,7 +319,21 @@ class BoussinesqModel:
 
             self._richardson_pallas = make_sharded_richardson(
                 self, mesh, interpret=interpret)
-            self._richardson_fast = None  # interval mode: single-device
+            # interval mode is single-device only: the sharded kernel
+            # has no residual-free variant, so residual_check_interval
+            # > 1 silently degrades to per-step checking on a mesh.
+            # Surface that (ADVICE r4): log it and report it via
+            # sharded_kernels() so a dropped opt-in is never silent.
+            self._richardson_fast = None
+            if (self._richardson_pallas is not None
+                    and self.params.numerics.residual_check_interval > 1):
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "prepare_sharded: residual check interval = %d has "
+                    "no sharded kernel variant; running per-step "
+                    "residual checks on the mesh",
+                    self.params.numerics.residual_check_interval)
         elif mesh is not None:
             # pure-GSPMD configuration: no pallas kernels anywhere
             self._richardson_pallas = None
@@ -346,7 +360,7 @@ class BoussinesqModel:
             return ("pallas-sharded" if isinstance(obj, sharded_cls)
                     else "pallas")
 
-        return {
+        report = {
             "forcing": tag(self._forcing_pallas, ShardedShellForcing),
             "richardson": tag(self._richardson_pallas,
                               ShardedShellRichardson),
@@ -354,6 +368,15 @@ class BoussinesqModel:
             if self.poisson_spectral is not None else
             ("mg-cg" if self.poisson_precond is not None else "jacobi-cg"),
         }
+        M_chk = self.params.numerics.residual_check_interval
+        if M_chk > 1:
+            # an opted-in residual check interval that fell back to
+            # per-step checking (sharded runs) must be visible
+            report["residual_check_interval"] = (
+                f"every {M_chk} steps" if self._richardson_fast
+                is not None else f"requested {M_chk}, running per-step "
+                "(no sharded residual-free variant)")
+        return report
 
     def enable_pallas_richardson(self, *, interpret: bool = False):
         """Force-build the fused Richardson kernel (test hook; the
@@ -919,8 +942,9 @@ class BoussinesqModel:
                 # `residual check interval` = M > 1: the exactly
                 # tracked residuals (and their honesty gate) run every
                 # M-th step; in between, a residual-free kernel variant
-                # produces BITWISE-identical iterates at ~45% fewer
-                # stencil applies and reports residual = -1
+                # produces iterates identical up to f32 reassociation
+                # (pinned in tests/test_pallas_richardson.py) at ~45%
+                # fewer stencil applies and reports residual = -1
                 # ("unchecked" sentinel) in the diagnostics
                 M_chk = p.numerics.residual_check_interval
 
