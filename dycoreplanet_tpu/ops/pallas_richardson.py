@@ -370,93 +370,102 @@ class HelmholtzRichardsonPallas:
             coef_T = dt * itv * iPe
             cidx4 = jax.lax.broadcasted_iota(jnp.int32, (4, 1, 1, 1), 0)
             coef4 = jnp.where(cidx4 < 3, coef_u, coef_T)
-            inv_diag = 1.0 / (vol[None] + coef4 * Ld)
-            # per-channel wall diagonal adjustments (lon-invariant —
-            # the select runs on a laneless (4, ext, nlat, 1) array)
-            Dl4 = jnp.stack([M[13], M[14], M[14], M[14]])[:, :, :, None]
+            # diagonal-explicit operator form: A v = diag4 * v -
+            # sum_faces(cc_face * v_nbr), with diag4 = V + coef * Ld
+            # exactly the Jacobi denominator (Ld = -weak_lap diagonal
+            # INCLUDING the wall adjustments, so the Dl channels never
+            # enter the apply — they are folded into Ld upstream).
+            # Identical to the roll-form weak_laplacian up to f32
+            # reassociation (pinned vs the jnp oracle in tests).
+            diag4 = vol[None] + coef4 * Ld         # (4, ext, nlat, 1)
+            inv_diag = 1.0 / diag4
+            # pre-scaled NEGATED neighbor conductances (lon-invariant,
+            # lane width 1 — a few KB each): wall/pole faces are ZERO
+            # here, so lat-roll wraps and beyond-wall halo rows are
+            # inert; the negation folds the final subtraction into the
+            # fma-shaped accumulation chain
+            ncoef4 = -coef4
+            ccr_lo = ncoef4 * cr_lo[None]
+            ccr_hi = ncoef4 * cr_hi[None]
+            ccl_lo = ncoef4 * cl_lo[None]
+            ccl_hi = ncoef4 * cl_hi[None]
+            cco = ncoef4 * co[None]
 
-            def apply_A(v, c0, coef):
-                """(V - coef * weak_lap) v for channels [c0, c0+C) of
-                the [u_r, u_lat, u_lon, T] stack.
+            def shrink(v, d):
+                """Drop d radial rows each side (free: leading axis)."""
+                return v if d == 0 else v[:, d:v.shape[1] - d]
 
-                SELECT-FREE stencil: wall/pole BCs live entirely in the
-                metric channels (zeroed wall/pole conductances + the Dl
-                diagonal adjustments), so every roll's wrapped row is
-                multiplied by zero — no iota masks, no ghost fills."""
-                Dl = Dl4[c0:c0 + v.shape[0]]
-                vm = jnp.roll(v, 1, axis=1)
-                vp = jnp.roll(v, -1, axis=1)
-                lap = (cr_hi * (vp - v) + cr_lo * (vm - v) + Dl * v)
-                vm_l = jnp.roll(v, 1, axis=2)
-                vp_l = jnp.roll(v, -1, axis=2)
-                lap = lap + cl_hi * (vp_l - v) + cl_lo * (vm_l - v)
-                # longitude: periodic lane rolls
-                lap = lap + co * (jnp.roll(v, -1, axis=3)
-                                  + jnp.roll(v, 1, axis=3) - 2.0 * v)
-                return vol[None] * v - coef * lap
+            def apply_sl(v, lv, c0, C):
+                """A v for channels [c0, c0+C), SHRINKING-REGION form:
+                v is valid at level lv (rows [lv, ext-lv) of the
+                extended block); the result is valid at level lv+1 and
+                is 2 radial rows smaller. Radial neighbors are static
+                leading-axis slices (no roll copies, no recompute of
+                rows whose validity is already spent); lat/lon stay
+                rolls — lon is genuinely periodic, and the lat wrap is
+                killed by the zero pole-face conductances."""
+                lo = lv + 1
+                n = ext - 2 * lo
+                vc = v[:, 1:1 + n]
+                vp = v[:, 2:2 + n]
+                vm = v[:, 0:n]
+                cs = lambda c: c[c0:c0 + C, lo:lo + n]
+                # mul-add chain on NEGATED conductances: every line is
+                # an a*b+c candidate for the vector unit's fused form,
+                # and the diagonal term absorbs the final combine
+                acc = cs(cco) * (jnp.roll(vc, -1, axis=3)
+                                 + jnp.roll(vc, 1, axis=3))
+                acc = cs(ccl_lo) * jnp.roll(vc, 1, axis=2) + acc
+                acc = cs(ccl_hi) * jnp.roll(vc, -1, axis=2) + acc
+                acc = cs(ccr_lo) * vm + acc
+                acc = cs(ccr_hi) * vp + acc
+                return cs(diag4) * vc + acc
 
-            def apply_A4(v):
-                return jnp.concatenate(
-                    [apply_A(v[:3], 0, coef_u),
-                     apply_A(v[3:], 3, coef_T)], axis=0)
+            track = self.track_residual
 
-            # extended iterate x0: [halo_lo | block | halo_hi]
+            def solve_sys(x, b1, iters, c0, C):
+                """Jacobi-Richardson with level-tracked shrinking
+                regions: each apply runs only on the rows whose result
+                is still consumable. b1 arrives at level 1. Returns
+                (x, lx, r, lr) with the levels the arrays ended at."""
+                r = b1 - apply_sl(x, 0, c0, C)     # level 1
+                lx, lr = 0, 1
+                for j in range(iters):
+                    dx = r * inv_diag[c0:c0 + C, lr:ext - lr]
+                    x = shrink(x, lr - lx) + dx
+                    lx = lr
+                    if track or (iters > j + 1):
+                        r = shrink(r, 1) - apply_sl(dx, lr, c0, C)
+                        lr += 1
+                return x, lx, r, lr
+
+            # extended iterates at level 0: [halo_lo | block | halo_hi]
             Hx = Hx_ref[0]                         # (4, 2H, nlat, nlon)
-            x_blk = jnp.concatenate([ru_ref[:], T0_ref[:][None]], axis=0)
-            x = jnp.concatenate([Hx[:, :H], x_blk, Hx[:, H:]], axis=1)
-
-            # extended b: momentum b = vol * rhs_u (rhs_u IS x0);
+            x_u = jnp.concatenate(
+                [Hx[:3, :H], ru_ref[:], Hx[:3, H:]], axis=1)
+            x_T = jnp.concatenate(
+                [Hx[3:, :H], T0_ref[:][None], Hx[3:, H:]], axis=1)
+            # b at level 1: momentum b = vol * rhs_u (rhs_u IS x0);
             # temperature b arrives precomputed with its own halos
             HbT = HbT_ref[0]
-            bT = jnp.concatenate([HbT[0, :H], rT_ref[:], HbT[0, H:]],
-                                 axis=0)
-            b = jnp.concatenate([vol[None] * x[:3], bT[None]], axis=0)
+            n1 = ext - 2
+            b1_u = vol[None][:, 1:1 + n1] * x_u[:, 1:1 + n1]
+            b0_T = jnp.concatenate(
+                [HbT[:, :H], rT_ref[:][None], HbT[:, H:]], axis=1)
+            b1_T = b0_T[:, 1:1 + n1]
 
-            r = b - apply_A4(x)
-            b = None  # ext b dies here; the ||b|| partials below read
-            # the block refs directly (less VMEM liveness)
-            # A system needs its r updated after iteration j only while
-            # more of ITS iterations remain — or when the exactly
-            # tracked final residual is requested (track_residual).
-            track = self.track_residual
-            for j in range(k_common):
-                dx = r * inv_diag
-                x = x + dx
-                need_u = track or (iters_u > j + 1)
-                need_T = track or (iters_T > j + 1)
-                if need_u and need_T:
-                    r = r - apply_A4(dx)
-                elif need_T:
-                    r = jnp.concatenate(
-                        [r[:3], r[3:] - apply_A(dx[3:], 3, coef_T)],
-                        axis=0)
-                elif need_u:
-                    r = jnp.concatenate(
-                        [r[:3] - apply_A(dx[:3], 0, coef_u), r[3:]],
-                        axis=0)
-            # surplus iterations on the lagging system only (1 channel
-            # of 4 for temperature — 1/4 the apply cost)
-            xu, xT = x[:3], x[3:]
-            ru_res, rT_res = r[:3], r[3:]
-            for j in range(k_common, iters_T):
-                dxT = rT_res * inv_diag[3:]
-                xT = xT + dxT
-                if track or (iters_T > j + 1):
-                    rT_res = rT_res - apply_A(dxT, 3, coef_T)
-            for j in range(k_common, iters_u):
-                dxu = ru_res * inv_diag[:3]
-                xu = xu + dxu
-                if track or (iters_u > j + 1):
-                    ru_res = ru_res - apply_A(dxu, 0, coef_u)
+            xu, lxu, ru_res, lru = solve_sys(x_u, b1_u, iters_u, 0, 3)
+            xT, lxT, rT_res, lrT = solve_sys(x_T, b1_T, iters_T, 3, 1)
 
-            u_ref[:] = xu[:, H:H + blk, cl, cn]
-            T_ref[:] = xT[0, H:H + blk, cl, cn]
+            u_ref[:] = xu[:, H - lxu:H - lxu + blk, cl, cn]
+            T_ref[:] = xT[0, H - lxT:H - lxT + blk, cl, cn]
 
             # ---- fused projection head: faces + div + Poisson RHS ----
             # (exactly ShellProjectionPallas.faces_div,
             # pallas_stencil.py:842-883; xu is valid on H-iters_u >= 1
             # ghost rows/cols, all the face stencil needs)
-            u0w = xu[0, H - 1:H + blk + 1, cl, cn]  # rows blk_lo-1..hi+1
+            ou = H - lxu                           # xu row of global H
+            u0w = xu[0, ou - 1:ou + blk + 1, cl, cn]  # rows lo-1..hi+1
             uf0e = 0.5 * (u0w[:-1] + u0w[1:])      # faces block_lo..hi+1
             fidx = (jax.lax.broadcasted_iota(jnp.int32, (blk + 1, 1, 1), 0)
                     + i * blk)
@@ -469,14 +478,14 @@ class HelmholtzRichardsonPallas:
             ar_e = M[10][H:H + blk + 1, cl][:, :, None]
             aq_r = ar_e * uf0e
             if GH == 0:
-                u1c = xu[1, H:H + blk]
+                u1c = xu[1, ou:ou + blk]
                 # the zero-area pole face is zeroed below, so the
                 # POLE_FLIP ghost never survives — a plain roll suffices
                 uf1 = 0.5 * (jnp.roll(u1c, 1, axis=1) + u1c)
                 uf1 = jnp.concatenate(
                     [jnp.zeros_like(uf1[:, :1, :]), uf1[:, 1:, :]],
                     axis=1)
-                u2c = xu[2, H:H + blk]
+                u2c = xu[2, ou:ou + blk]
                 uf2 = 0.5 * (jnp.roll(u2c, 1, axis=2) + u2c)
                 alat_lo = M[11][H:H + blk][:, :, None]
                 alon = M[12][H:H + blk][:, :, None]
@@ -490,10 +499,10 @@ class HelmholtzRichardsonPallas:
                 # operands mode: neighbor values come from the ghost
                 # layers (slices, no closures); the beyond-pole flux
                 # area in channel 11 is exactly 0 (build_shard_metrics)
-                u1x = xu[1, H:H + blk, GH - 1:GH + nlat + 1, cn]
+                u1x = xu[1, ou:ou + blk, GH - 1:GH + nlat + 1, cn]
                 uf1e = 0.5 * (u1x[:, :-1] + u1x[:, 1:])  # nlat+1 faces
                 uf1 = uf1e[:, :nlat]
-                u2x = xu[2, H:H + blk, cl, GH - 1:GH + nlon + 1]
+                u2x = xu[2, ou:ou + blk, cl, GH - 1:GH + nlon + 1]
                 uf2e = 0.5 * (u2x[..., :-1] + u2x[..., 1:])
                 uf2 = uf2e[..., :nlon]
                 alat_e = M[11][H:H + blk, GH:GH + nlat + 1][:, :, None]
@@ -512,8 +521,8 @@ class HelmholtzRichardsonPallas:
             bc_u = vol_c[None] * ru_ref[:][:, :, cl, cn]
             bc_T = rT_ref[:][:, cl, cn]
             if self.track_residual:
-                rc_u = ru_res[:, H:H + blk, cl, cn]
-                rc_T = rT_res[0, H:H + blk, cl, cn]
+                rc_u = ru_res[:, H - lru:H - lru + blk, cl, cn]
+                rc_T = rT_res[0, H - lrT:H - lrT + blk, cl, cn]
                 s_ru, s_rT = jnp.sum(rc_u * rc_u), jnp.sum(rc_T * rc_T)
             else:  # residuals not computed this call (interval mode)
                 s_ru = s_rT = jnp.zeros((), dtype)

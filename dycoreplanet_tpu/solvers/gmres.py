@@ -93,8 +93,8 @@ def gmres(
         sn = jnp.zeros((m,), acc)
         g = jnp.zeros((m + 1,), acc).at[0].set(beta)
 
-        def arnoldi(j, carry):
-            V, Z, H, cs, sn, g = carry
+        def arnoldi(carry):
+            j, V, Z, H, cs, sn, g = carry
             z = M(unflat(V[j]))
             if flexible:
                 Z = Z.at[j].set(flat(z))
@@ -134,10 +134,23 @@ def gmres(
             hcol = hcol.at[j].set(rho).at[j + 1].set(0.0)
             H = H.at[:, j].set(hcol)
             g = g.at[j + 1].set(-s_new * g[j]).at[j].set(c_new * g[j])
-            return (V, Z, H, cs, sn, g)
+            return (j + 1, V, Z, H, cs, sn, g)
 
-        V, Z, H, cs, sn, g = jax.lax.fori_loop(
-            0, m, arnoldi, (V, Z, H, cs, sn, g))
+        def arnoldi_cond(carry):
+            j, V, Z, H, cs, sn, g = carry
+            # |g[j]| is the Givens-rotated residual-norm estimate of
+            # the iterate after j Arnoldi steps: stop the cycle as
+            # soon as it meets the tolerance instead of paying the
+            # remaining (masked) operator+preconditioner applications
+            # — at restart 30 with convergence at ~12 steps that is
+            # ~60% of the cycle's sweeps saved. Partially-built H/g
+            # are already safe: unset columns have zero diagonal and
+            # the back-substitution pins their y_j to 0.
+            return jnp.logical_and(j < m, jnp.abs(g[j]) > stop)
+
+        j_done, V, Z, H, cs, sn, g = jax.lax.while_loop(
+            arnoldi_cond, arnoldi,
+            (jnp.asarray(0, jnp.int32), V, Z, H, cs, sn, g))
 
         # back-substitution R y = g[:m]; R = H[:m, :m] upper triangular.
         # Happy-breakdown guard: a zero diagonal entry means the Krylov
@@ -151,21 +164,21 @@ def gmres(
             dx = unflat((V[:m].T @ y).astype(acc))
             x_new = (x + M(dx)).astype(dtype)
         r_new = b - operator(x_new)
-        return x_new, jnp.sqrt(_dot(r_new, r_new))
+        return x_new, jnp.sqrt(_dot(r_new, r_new)), j_done
 
     r0 = b - operator(x0)
     rnorm0 = jnp.sqrt(_dot(r0, r0))
     max_cycles = max(1, -(-maxiter // m))
 
     def cond(state):
-        x, rnorm, k, x_best, rbest, hist = state
+        x, rnorm, k, iters, x_best, rbest, hist = state
         return jnp.logical_and(k < max_cycles, rnorm > stop)
 
     cap = int(record_history)
 
     def body(state):
-        x, rnorm, k, x_best, rbest, hist = state
-        x, rnorm = cycle(x)
+        x, rnorm, k, iters, x_best, rbest, hist = state
+        x, rnorm, j_done = cycle(x)
         if cap > 0:
             # per-restart-cycle residual trail (deallog analogue,
             # reference main.cxx:89-90)
@@ -174,11 +187,15 @@ def gmres(
         better = rnorm < rbest
         x_best = jnp.where(better, x, x_best)
         rbest = jnp.where(better, rnorm, rbest)
-        return (x, rnorm, k + 1, x_best, rbest, hist)
+        return (x, rnorm, k + 1, iters + j_done, x_best, rbest, hist)
 
     hist0 = jnp.full((max(cap, 1),), jnp.nan, jnp.float32)
-    init = (x0, rnorm0, jnp.asarray(0, jnp.int32), x0, rnorm0, hist0)
-    x, rnorm, k, x_best, rbest, hist = jax.lax.while_loop(cond, body, init)
-    return CGResult(x=x_best, iterations=k * m, residual_norm=rbest,
+    zero = jnp.asarray(0, jnp.int32)
+    init = (x0, rnorm0, zero, zero, x0, rnorm0, hist0)
+    (x, rnorm, k, iters, x_best, rbest,
+     hist) = jax.lax.while_loop(cond, body, init)
+    # iterations = Arnoldi steps actually taken (the early-exit cycle
+    # makes this the true Krylov count, not k * restart)
+    return CGResult(x=x_best, iterations=iters, residual_norm=rbest,
                     converged=rbest <= stop,
                     history=hist if cap > 0 else None)

@@ -328,6 +328,16 @@ class AnnulusPoissonFastDiag:
         self._F, self._G = f(F), f(G)
         self._W = f(W)
         self._inv_denom = f(inv_denom)
+        # residual amplification bound for the model's Poisson spot-
+        # check (models/boussinesq._project_velocity): the generalized
+        # eigentransforms at production annulus aspect (64 x 2048)
+        # leave a measured ~4e-4 relative residual in f32 on random
+        # rhs (~3.5e3 eps — working-precision conditioning, not a
+        # solver defect) and up to ~2e-2 on violent low-mode
+        # transients; 1e6 eps (0.12 in f32, 2e-10 in f64) is the
+        # tripwire level that stays an order below an actually
+        # corrupted solve (relative residual O(0.3-1)).
+        self.check_amp = 1e6
 
     def __call__(self, b: jnp.ndarray) -> jnp.ndarray:
         return self.solve(b)[0]
