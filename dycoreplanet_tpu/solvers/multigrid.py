@@ -17,11 +17,17 @@ Components:
   * hierarchy  — cell-count halving per axis while even and > minimum,
                  rebuilt through grid.factory (exact coarse metrics);
   * smoother   — weighted Jacobi (omega=0.8) on the volume-integrated
-                 (weak) residual;
+                 (weak) residual, or RADIAL LINE relaxation (batched
+                 Thomas solve of the radial tridiagonal part with the
+                 full operator diagonal — the anisotropy remedy for
+                 the thin shell, SURVEY §7.4: radial spacing << the
+                 horizontal arc there, so the radially-dominant
+                 coupling defeats point Jacobi; "auto" picks line on
+                 shell/annulus);
   * restriction — summation over child cells (conservative aggregation,
                  the Galerkin-consistent transfer for the weak form);
   * prolongation — piecewise-constant injection (its transpose);
-  * coarse solve — fixed Jacobi sweeps (grid is tiny by then).
+  * coarse solve — fixed smoother sweeps (grid is tiny by then).
 """
 
 from __future__ import annotations
@@ -78,11 +84,17 @@ class PoissonMultigrid:
         coarse_iters: int = 40,
         min_cells: int = 4,
         dtype=jnp.float32,
+        smoother: str = "auto",
     ):
         self.specs = list(specs)
         self.n_smooth = n_smooth
         self.omega = omega
         self.coarse_iters = coarse_iters
+        if smoother == "auto":
+            smoother = "line" if geo.kind in ("shell", "annulus") \
+                else "jacobi"
+        assert smoother in ("line", "jacobi")
+        self.smoother = smoother
         self.geos: List[Geometry] = [geo]
         shape = geo.cell_shape
         while True:
@@ -97,12 +109,129 @@ class PoissonMultigrid:
             (-weak_laplacian_diagonal(g, self.specs)).astype(dtype)
             for g in self.geos
         ]
+        if self.smoother == "line":
+            # which axes carry the anisotropy? an axis whose two face
+            # conductances reach >= 40% of the diagonal SOMEWHERE is a
+            # strong-coupling direction point-Jacobi cannot smooth
+            # (production lat-lon shell: LON near the poles, where the
+            # meridian convergence shrinks h_lon toward 0, and LAT at
+            # planetary aspect — NOT radius; the thin-shell R0 >> dR
+            # regime of SURVEY §7.4 picks radius instead). Relax along
+            # the top two, alternating-direction, damped.
+            stiff = [(self._axis_stiffness(geo, self.diags[0], a), a)
+                     for a in range(geo.dim)]
+            stiff.sort(reverse=True)
+            axes = [a for s, a in stiff if s >= 0.4][:2]
+            self.line_axes = axes if axes else [stiff[0][1]]
+            self.lines = [
+                {a: self._line_coeffs(g, d, dtype, a)
+                 for a in self.line_axes}
+                for g, d in zip(self.geos, self.diags)
+            ]
+
+    def _axis_stiffness(self, g: Geometry, diag, axis: int) -> float:
+        lo, hi = self._face_conductances(g, axis)
+        return float(np.max((lo + hi)
+                            / np.broadcast_to(np.asarray(diag, np.float64),
+                                              g.cell_shape)))
+
+    def _face_conductances(self, g: Geometry, axis: int):
+        """(c_lo, c_hi) per cell along ``axis``, broadcast to
+        cell_shape, wall/pole faces zeroed by the face areas."""
+        shape = g.cell_shape
+        n = shape[axis]
+        c = (np.asarray(g.face_area[axis], np.float64)
+             / np.asarray(g.face_dist[axis], np.float64))
+        while c.ndim < len(shape):
+            c = c[..., None]
+        if c.shape[axis] == n + 1:          # wall/pole axis: n+1 faces
+            fshape = shape[:axis] + (n + 1,) + shape[axis + 1:]
+            cb = np.broadcast_to(c, fshape)
+            sl = [slice(None)] * len(shape)
+            sl_lo = list(sl)
+            sl_lo[axis] = slice(0, n)
+            sl_hi = list(sl)
+            sl_hi[axis] = slice(1, n + 1)
+            return cb[tuple(sl_lo)], cb[tuple(sl_hi)]
+        cb = np.broadcast_to(c, shape)       # periodic: one shared face
+        return cb, cb
+
+    def _line_coeffs(self, g: Geometry, diag, dtype, axis: int):
+        """Tridiagonal coefficients of the ``axis`` line block of
+        A = -weak_laplacian carrying the FULL operator diagonal (the
+        other directions stay Jacobi-like), with ``axis`` moved to the
+        front for the batched Thomas scan — the line-implicit smoother
+        of SURVEY §7.4, replacing the reference's ILU/AMG role
+        (preconditioner.h:36-42). Periodic axes return the wrap
+        conductance for the Sherman-Morrison corner correction."""
+        periodic = self.specs[axis] is None
+        c_lo, c_hi = self._face_conductances(g, axis)
+        d = np.broadcast_to(np.asarray(diag, np.float64),
+                            g.cell_shape).copy()
+        lower = -np.moveaxis(c_lo, axis, 0).copy()
+        upper = -np.moveaxis(c_hi, axis, 0).copy()
+        dd = np.moveaxis(d, axis, 0).copy()
+        wrap = None
+        if periodic:
+            wrap = lower[0].copy().astype(dtype)   # face 0 == face n
+        lower[0] = 0.0
+        upper[-1] = 0.0
+        return (lower.astype(dtype), dd.astype(dtype),
+                upper.astype(dtype), wrap)
 
     # -----------------------------------------------------------------
     def _apply(self, level: int, x: jnp.ndarray) -> jnp.ndarray:
         return -st.weak_laplacian(self.geos[level], x, self.specs)
 
-    def _smooth(self, level: int, x: jnp.ndarray, b: jnp.ndarray, n: int) -> jnp.ndarray:
+    def _line_solve(self, level: int, axis: int, r: jnp.ndarray) -> jnp.ndarray:
+        """T^{-1} r along ``axis`` (batched Thomas; periodic axes get
+        the Sherman-Morrison corner correction)."""
+        from dycoreplanet_tpu.solvers.tridiag import thomas_solve
+
+        lo, d, up, wrap = self.lines[level][axis]
+        rt = jnp.moveaxis(r, axis, 0)
+        lo_j = jnp.asarray(lo, r.dtype)
+        d_j = jnp.asarray(d, r.dtype)
+        up_j = jnp.asarray(up, r.dtype)
+        if wrap is None:
+            x = thomas_solve(lo_j, d_j, up_j, rt)
+            return jnp.moveaxis(x.astype(r.dtype), 0, axis)
+        # periodic: A_c = A_t + u v^T with u = [gamma,0,..,w],
+        # v = [1,0,..,w/gamma]; gamma = -d[0] keeps A_t dominant
+        w = jnp.asarray(wrap, r.dtype)
+        gamma = -d_j[0]
+        d_t = d_j.at[0].add(-gamma).at[-1].add(-(w * w) / gamma)
+        n = rt.shape[0]
+        u = jnp.zeros_like(rt).at[0].set(
+            jnp.broadcast_to(gamma, rt.shape[1:])).at[-1].set(
+            jnp.broadcast_to(w, rt.shape[1:]))
+        # one batched 2-rhs Thomas: stack y|z on a new batch axis
+        rhs2 = jnp.stack([rt, u], axis=1)
+        yz = thomas_solve(lo_j[:, None], d_t[:, None], up_j[:, None],
+                          rhs2)
+        y, z = yz[:, 0], yz[:, 1]
+        vy = y[0] + (w / gamma) * y[-1]
+        vz = z[0] + (w / gamma) * z[-1]
+        x = y - z * (vy / (1.0 + vz))
+        return jnp.moveaxis(x.astype(r.dtype), 0, axis)
+
+    def _smooth(self, level: int, x: jnp.ndarray, b: jnp.ndarray,
+                n: int, reverse: bool = False) -> jnp.ndarray:
+        if self.smoother == "line":
+            # alternating-direction line relaxation over the stiff
+            # axes. Damping is REQUIRED: the line solve carries the
+            # full diagonal, so a mode oscillating only in the OTHER
+            # directions sees an iteration-matrix eigenvalue
+            # approaching -1 (x' A x <= 2 x' T x); omega in (1/2, 1)
+            # restores contraction of exactly those modes. The post-
+            # smooth reverses the axis order so the V-cycle stays
+            # symmetric (CG-admissible).
+            axes = self.line_axes[::-1] if reverse else self.line_axes
+            for _ in range(n):
+                for a in axes:
+                    r = b - self._apply(level, x)
+                    x = x + self.omega * self._line_solve(level, a, r)
+            return x
         d = self.diags[level]
         for _ in range(n):
             x = x + self.omega * (b - self._apply(level, x)) / d
@@ -128,13 +257,20 @@ class PoissonMultigrid:
 
     def _vcycle(self, level: int, b: jnp.ndarray) -> jnp.ndarray:
         if level == len(self.geos) - 1:
-            return self._smooth(level, jnp.zeros_like(b), b, self.coarse_iters)
+            # palindromic sweep order: with an alternating-direction
+            # smoother a one-way (a1 a2)^k sequence is not self-
+            # adjoint; half forward + half reversed keeps the whole
+            # cycle symmetric (CG-admissible)
+            half = self.coarse_iters // 2
+            x = self._smooth(level, jnp.zeros_like(b), b, half)
+            return self._smooth(level, x, b, self.coarse_iters - half,
+                                reverse=True)
         x = self._smooth(level, jnp.zeros_like(b), b, self.n_smooth)
         r = b - self._apply(level, x)
         rc = self._restrict(r)
         xc = self._vcycle(level + 1, rc)
         x = x + self._prolong(xc)
-        x = self._smooth(level, x, b, self.n_smooth)
+        x = self._smooth(level, x, b, self.n_smooth, reverse=True)
         return x
 
     # -----------------------------------------------------------------

@@ -44,9 +44,14 @@ def thomas_solve(
         g = (b - l * g_prev) / denom
         return (c, g), (c, g)
 
-    zeros = jnp.zeros_like(diag[0])
+    # carry shapes must match the per-step results even when the
+    # coefficient arrays carry broadcast (size-1) batch axes against a
+    # wider rhs (e.g. the 2-rhs Sherman-Morrison periodic solve)
+    zeros_c = jnp.zeros_like(diag[0])
+    zeros_g = jnp.zeros(jnp.broadcast_shapes(diag[0].shape,
+                                             rhs[0].shape), acc)
     (_, _), (cs, gs) = jax.lax.scan(
-        fwd, (zeros, zeros), (lower, diag, upper, rhs))
+        fwd, (zeros_c, zeros_g), (lower, diag, upper, rhs))
 
     # back substitution: x_i = g_i - c'_i x_{i+1}
     def bwd(x_next, xs):
@@ -54,5 +59,5 @@ def thomas_solve(
         x = g - c * x_next
         return x, x
 
-    _, xs_rev = jax.lax.scan(bwd, zeros, (cs, gs), reverse=True)
+    _, xs_rev = jax.lax.scan(bwd, zeros_g, (cs, gs), reverse=True)
     return xs_rev
