@@ -204,25 +204,23 @@ def _feec_extras(on_tpu, dt, extra):
           f"{ms * 1e3:.2f} ms/step, {cells / ms:.3e} pts/s",
           file=sys.stderr)
 
-    # coupled 3x3 w-u-p FGMRES at a reduced reference-matrix grid
+    # coupled 3x3 w-u-p FGMRES at a reduced reference-matrix grid.
+    # Slope timing (short vs long on-device chain), like every other
+    # bench entry: single-step wall timing measures the ~10-30 ms
+    # tunnel dispatch latency, not the chip (round-4's 37-59 ms
+    # numbers were mostly tunnel).
     shape_c = (16, 32, 64) if on_tpu else (4, 8, 16)
     mc = make_model(feec_params(shape_c, "coupled"))
     state = _seed_state(mc, mc.initial_state())
     state, diag = mc.step(state, dt)   # warmup/compile
     _, diag = mc.step(state, dt)
     outer = int(diag.poisson_iters)    # coupled path: outer iterations
-    t_best = float("inf")
-    for _ in range(3 if on_tpu else 1):
-        import time as _t
-
-        t0 = _t.perf_counter()
-        s2, _ = mc.step(state, dt)
-        float(np.asarray(s2.u[0]).sum())
-        t_best = min(t_best, _t.perf_counter() - t0)
-    extra["shell_feec_coupled_ms_per_step"] = float(f"{t_best * 1e3:.4g}")
+    nn1, nn2 = (2, 10) if on_tpu else (1, 3)
+    ms_c, _ = _bench_model(mc, dt, nn1, nn2, reps=2 if on_tpu else 1)
+    extra["shell_feec_coupled_ms_per_step"] = float(f"{ms_c * 1e3:.4g}")
     extra["shell_feec_coupled_outer_iters"] = outer
     print(f"bench: shell FEEC coupled 3x3 {mc.geo.cell_shape}: "
-          f"{t_best * 1e3:.2f} ms/step, outer iters={outer}",
+          f"{ms_c * 1e3:.2f} ms/step, outer iters={outer}",
           file=sys.stderr)
 
 
@@ -301,11 +299,19 @@ def main() -> None:
     # residuals are exactly tracked and gated; the interval>1
     # relaxation remains available as a knob but is not used here
     # (VERDICT r4 item 1).
+    # `fixed solver iters = 1` is the third production opt-in: one
+    # Jacobi-Richardson iteration for the temperature system too.
+    # Measured on developed flow at this config the exactly-tracked
+    # k_T=1 residual is 1.65e-11 vs its ~1e-10 acceptance bound
+    # (1e-12 * ||b_T||) — a real but honest margin: the per-step gate
+    # escalates to full CG the moment it stops holding. Ghost depth
+    # drops H=3 -> 2, -0.03 ms/step.
     shape = (32, 128, 256) if on_tpu else (8, 16, 32)
     model = graft._make_model("float32", shape=shape,
                               poisson_precision="high",
                               momentum_fixed_iters=1,
-                              residual_check_interval=1)
+                              residual_check_interval=1,
+                              fixed_solver_iters=1)
     cells = int(np.prod(model.geo.cell_shape))
     dt = np.float32(0.002)
 

@@ -308,6 +308,18 @@ class BoussinesqModel:
             self.poisson_spectral = ShardedShellPoissonFastDiag(
                 self.poisson_spectral, mesh)
             self._setup_const_registry()
+        if mesh is not None and self.poisson_precond is not None:
+            # rebuild the MG preconditioner with line relaxation
+            # restricted to the UNSHARDED radial axis: a Thomas scan
+            # along a sharded axis would gather whole lines
+            # (all-gather==0 contract, tests/test_collectives.py)
+            from dycoreplanet_tpu.solvers.multigrid import PoissonMultigrid
+
+            self.poisson_precond = PoissonMultigrid(
+                self.geo, self.p_specs,
+                dtype=np.dtype(self.dtype),
+                line_axes_allowed=(0,))
+            self._setup_const_registry()
         if mesh is not None and pallas:
             self.enable_sharded_pallas(mesh, interpret=interpret)
             # keep the fused implicit stage on the mesh too: the same
@@ -1567,21 +1579,22 @@ class BoussinesqModel:
 
         # Mu - Sw = Mu - B10 Mw^{-1} B01 = V + dt/Re V curl(curl .)
         # ≈ the vector Helmholtz (curl curl = -lap + grad div), so the
-        # Helmholtz Jacobi diagonal preconditions it well: a 2-step
-        # fixed Jacobi-Richardson stands in for the reference's <=30-
-        # iteration GMRES approximate inverse
-        # (shifted_schur_complement.hpp:277-298) at a third of the
-        # operator applies and none of the Arnoldi machinery; the
-        # outer FGMRES absorbs the fixed-count inexactness exactly as
-        # the reference swallows its inner NoConvergence.
+        # Helmholtz Jacobi diagonal is the right inner preconditioner.
+        # The inner solve itself stays a TRUNCATED GMRES (the
+        # reference's approximate inverse,
+        # shifted_schur_complement.hpp:277-298): a fixed Jacobi-
+        # Richardson sweep is cheaper but DIVERGES once
+        # dt/Re ||curl curl|| / vol exceeds the Jacobi stability bound
+        # — measured at the reference FEEC config's dt = 0.1 on the
+        # 16x32x64 grid (510-iteration outer stall), while fine at the
+        # throughput dt = 0.002. Three diag-preconditioned inner
+        # iterations replace the five vol-preconditioned ones.
         shifted = la.shifted_schur_complement(Mu_op, B10_op, Mw_inv, B01_op)
         sh_diag = vol[None] + k_visc * jnp.asarray(self.helm_diags,
                                                    rhs_u.dtype)
-
-        def shifted_inv(ru):
-            return richardson_solve(shifted, ru, ru / sh_diag,
-                                    diag=sh_diag, iters=2,
-                                    rtol=p.numerics.helmholtz_tol).x
+        shifted_inv = la.approximate_inverse(
+            shifted, n_iter=3, solver="gmres", restart=3,
+            preconditioner=lambda r: r / sh_diag)
 
         nw = dim  # vorticity components
 
@@ -1607,9 +1620,14 @@ class BoussinesqModel:
         # flexible=True: the u-block of M_inv is a truncated inner GMRES
         # (shifted_inv), which is nonlinear in its input — true FGMRES
         # stores the Z-vectors so the update stays exact (the reference
-        # swallows this inexactness; see SURVEY §3.5)
+        # swallows this inexactness; see SURVEY §3.5). restart=16: the
+        # preconditioned solve converges in ~14 steps on developed flow
+        # and every CGS2 pass reads the FULL (restart+1, n) V buffer, so
+        # oversizing the restart costs real HBM per iteration (the
+        # reference's restart-100/<=500 budget remains reachable via
+        # restart cycles, maxiter unchanged).
         res = gmres(K_op, b, rtol=p.numerics.helmholtz_tol,
-                    restart=30, maxiter=p.numerics.max_cg_iters,
+                    restart=16, maxiter=p.numerics.max_cg_iters,
                     preconditioner=M_inv, flexible=True,
                     record_history=self._hist_n())
         self._stash_history("FEEC 3x3 FGMRES", res)

@@ -85,7 +85,13 @@ class PoissonMultigrid:
         min_cells: int = 4,
         dtype=jnp.float32,
         smoother: str = "auto",
+        line_axes_allowed: Optional[Sequence[int]] = None,
     ):
+        """``line_axes_allowed``: restrict line relaxation to these
+        axes (e.g. the UNSHARDED radial axis on a device mesh — a
+        Thomas scan along a sharded axis would force GSPMD to gather
+        whole lines, breaking the all-gather==0 contract pinned in
+        tests/test_collectives.py). None = any axis."""
         self.specs = list(specs)
         self.n_smooth = n_smooth
         self.omega = omega
@@ -95,6 +101,9 @@ class PoissonMultigrid:
                 else "jacobi"
         assert smoother in ("line", "jacobi")
         self.smoother = smoother
+        self.line_axes_allowed = (tuple(line_axes_allowed)
+                                  if line_axes_allowed is not None
+                                  else None)
         self.geos: List[Geometry] = [geo]
         shape = geo.cell_shape
         while True:
@@ -119,10 +128,16 @@ class PoissonMultigrid:
             # regime of SURVEY §7.4 picks radius instead). Relax along
             # the top two, alternating-direction, damped.
             stiff = [(self._axis_stiffness(geo, self.diags[0], a), a)
-                     for a in range(geo.dim)]
-            stiff.sort(reverse=True)
-            axes = [a for s, a in stiff if s >= 0.4][:2]
-            self.line_axes = axes if axes else [stiff[0][1]]
+                     for a in range(geo.dim)
+                     if (self.line_axes_allowed is None
+                         or a in self.line_axes_allowed)]
+            if not stiff:
+                self.smoother = "jacobi"
+                self.line_axes = []
+            else:
+                stiff.sort(reverse=True)
+                axes = [a for s, a in stiff if s >= 0.4][:2]
+                self.line_axes = axes if axes else [stiff[0][1]]
             self.lines = [
                 {a: self._line_coeffs(g, d, dtype, a)
                  for a in self.line_axes}
