@@ -203,6 +203,12 @@ class MimeticBoussinesqModel(BoussinesqModel):
 
         rhs = w * uf_star_rhs
         diag = w + coef * jnp.asarray(self._cc_diag)
+        # NOTE: unlike the collocated Helmholtz, this system is NOT
+        # Jacobi-benign at production grids — the edge-weighted
+        # curl-curl's off-diagonal reach near the poles defeats the
+        # fixed Jacobi-Richardson fast path (measured at 32x128x256:
+        # every chunk missed 1e-8 and escalated to CG, round-5 A/B),
+        # so Jacobi-CG stays the solver here.
         res = cg(helm_op, rhs, x0=uf_star_rhs,
                  rtol=p.numerics.helmholtz_tol,
                  maxiter=p.numerics.max_cg_iters,
